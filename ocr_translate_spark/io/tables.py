@@ -1,0 +1,134 @@
+"""Snapshot-committed multi-table warehouse.
+
+The reference's resume story is "the DB ledgers survive a restart"
+(ref: ocr_translate/ocr_tsl/full.py:28-74 lazy path); at batch scale the
+analog is snapshot isolation: a killed run must leave either a complete,
+visible commit or nothing (north_rule: resume idempotently from the last
+committed snapshot).
+
+On a real cluster this is Iceberg (``writeTo(...).append()`` /
+``MERGE INTO`` — atomic snapshot commits, used automatically when the
+runtime has the Iceberg catalog configured).  This container has no Iceberg
+jars, so the same contract is implemented directly over parquet:
+
+* data files are written under ``<root>/<table>/commit-<uuid>/`` (invisible
+  to readers until referenced);
+* a snapshot manifest ``<root>/_snapshots/<n>.json`` lists, for every
+  table, ALL data directories visible at snapshot ``n`` (full listing, not
+  a delta — manifests are tiny);
+* the manifest is published with an atomic ``os.rename``; a crash at any
+  earlier point leaves only orphan data directories that no reader sees.
+
+All tables in one ``commit()`` become visible atomically together — the
+extraction pipeline relies on this to keep ``extracted`` and the ``runs``
+memoization ledger consistent (a crash can never publish results without
+their ledger rows, which is what makes re-runs idempotent).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is on the classpath + configured."""
+    try:
+        return bool(
+            spark.conf.get("spark.sql.catalog.spark_catalog", None)
+            and "iceberg" in spark.conf.get("spark.sql.catalog.spark_catalog")
+        )
+    except Exception:  # pragma: no cover
+        return False
+
+
+class Warehouse:
+    """Multi-table snapshot store rooted at a local/posix path."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "_snapshots"), exist_ok=True)
+
+    # -- snapshot log ----------------------------------------------------
+
+    def _snapshot_dir(self) -> str:
+        return os.path.join(self.root, "_snapshots")
+
+    def snapshots(self) -> list[int]:
+        out = []
+        for name in os.listdir(self._snapshot_dir()):
+            if name.endswith(".json"):
+                try:
+                    out.append(int(name[:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def current_snapshot_id(self) -> int:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else 0
+
+    def _manifest(self, snapshot_id: int) -> dict:
+        if snapshot_id == 0:
+            return {"id": 0, "tables": {}}
+        path = os.path.join(self._snapshot_dir(), f"{snapshot_id}.json")
+        with open(path, encoding="utf-8") as fh:
+            return json.load(fh)
+
+    # -- write -----------------------------------------------------------
+
+    def stage(self, df: DataFrame, table: str) -> str:
+        """Write ``df`` as parquet into an uncommitted data directory."""
+        commit_dir = os.path.join(self.root, table, f"commit-{uuid.uuid4().hex[:12]}")
+        df.write.mode("errorifexists").parquet(commit_dir)
+        return commit_dir
+
+    def commit(self, staged: dict[str, list[str]]) -> int:
+        """Atomically publish staged directories for one or more tables.
+
+        Returns the new snapshot id.  ``staged`` maps table name -> list of
+        directories previously returned by :meth:`stage`.
+        """
+        parent = self.current_snapshot_id()
+        manifest = self._manifest(parent)
+        tables = {k: list(v) for k, v in manifest["tables"].items()}
+        for table, dirs in staged.items():
+            rel = [os.path.relpath(d, self.root) for d in dirs]
+            tables.setdefault(table, []).extend(rel)
+        new_id = parent + 1
+        payload = {"id": new_id, "parent": parent, "tables": tables}
+        tmp = os.path.join(self._snapshot_dir(), f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh)
+        final = os.path.join(self._snapshot_dir(), f"{new_id}.json")
+        os.rename(tmp, final)  # atomic publish
+        return new_id
+
+    def write(self, df: DataFrame, table: str) -> int:
+        """stage + commit one table (convenience)."""
+        return self.commit({table: [self.stage(df, table)]})
+
+    # -- read ------------------------------------------------------------
+
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        schema=None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Read the committed state of ``table`` (optionally time-traveled).
+
+        Returns an empty DataFrame with ``schema`` when the table has no
+        committed data yet.
+        """
+        snap = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        dirs = self._manifest(snap)["tables"].get(table, [])
+        if not dirs:
+            if schema is None:
+                raise ValueError(f"table {table!r} is empty and no schema given")
+            return spark.createDataFrame([], schema=schema)
+        paths = [os.path.join(self.root, d) for d in dirs]
+        return spark.read.parquet(*paths)

@@ -1,0 +1,315 @@
+"""Incremental HTML tag tokenizer + main-content block extraction.
+
+This is the batch analog of the reference's segmentation + per-region
+extraction + reading-order assembly (ref: ocr_translate/models/box.py:76-99
+``_box_detection`` contract, ocr.py:149-171 ``_ocr`` contract, ocr.py:68-147
+merge) re-expressed over HTML byte streams: the *merged block* becomes a DOM
+text block, the *single components* become the text runs inside it, and the
+assembly order is document order.
+
+Design constraints (BASELINE.json north_star):
+* incremental tokenizer — a single forward pass over the byte stream, no
+  full-DOM tree is materialized; state is O(depth);
+* deterministic — identical bytes always yield identical text and spans,
+  independent of batch boundaries (state is per-document);
+* boilerplate classification by text-density / link-density heuristics in
+  the style of Boilerpipe (Kohlschütter et al., WSDM 2010) and
+  readability.js, with container-tag priors.
+
+Whitespace/entity discipline (matters for byte-identical goldens):
+raw inter-tag text is whitespace-collapsed *before* HTML entities are
+decoded, so numeric entities like ``&#32;`` survive collapsing the same way
+``&nbsp;`` does in browsers; ``<br>`` contributes a hard newline.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from dataclasses import dataclass, field
+
+# Tags that delimit text blocks (flush the current block on open and close).
+BLOCK_TAGS = frozenset(
+    """html head body p div article section main nav header footer aside
+    h1 h2 h3 h4 h5 h6 ul ol li table thead tbody tr td th blockquote pre
+    figure figcaption title form fieldset hr dl dt dd address""".split()
+)
+# Content inside these is skipped entirely.
+SKIP_CONTENT_TAGS = frozenset("script style noscript svg template textarea iframe".split())
+# Void elements never get a closing tag.
+VOID_TAGS = frozenset("br img hr meta link input base area col embed source track wbr".split())
+# Container priors.
+NEGATIVE_CONTAINERS = frozenset("nav header footer aside form".split())
+POSITIVE_CONTAINERS = frozenset("article main".split())
+
+# Heuristic thresholds (Boilerpipe-style NumWords/LinkDensity classifier).
+MAX_LINK_DENSITY_POSITIVE = 0.66  # inside <article>/<main>
+MAX_LINK_DENSITY_DEFAULT = 0.33
+MIN_CONTENT_CHARS = 25
+
+_TAG_NAME_RE = re.compile(rb"[a-zA-Z][a-zA-Z0-9:-]*")
+_WS_COLLAPSE_RE = re.compile(r"[ \t\r\f\v]+")
+
+
+@dataclass
+class Block:
+    """One DOM text block (the analog of a merged BBox, ref models/box.py:32-59)."""
+
+    text: str = ""
+    chars: int = 0
+    link_chars: int = 0
+    n_tags: int = 0
+    pos_depth: int = 0
+    neg_depth: int = 0
+    tag: str = ""
+    is_heading: bool = False
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.chars if self.chars else 0.0
+
+    @property
+    def text_density(self) -> float:
+        return self.chars / (self.n_tags + 1)
+
+
+@dataclass
+class ExtractResult:
+    """Extraction output for one page."""
+
+    text: str
+    spans: list[tuple[int, int]]  # offsets into ``text`` per kept block
+    n_blocks: int  # total blocks seen (kept + boilerplate)
+    n_kept: int
+    title: str
+    scores: list[float] = field(default_factory=list)
+
+
+def _classify(block: Block) -> tuple[bool, float]:
+    """(keep?, score) for a finalized block.
+
+    Score is a smooth content-ness signal in [0, 1]-ish used for lineage /
+    debugging; the keep decision is the hard classifier.
+    """
+    if not block.text:
+        return False, 0.0
+    ld = block.link_density
+    score = min(block.text_density / 10.0, 1.0) * (1.0 - ld)
+    if block.neg_depth > 0:
+        return False, score * 0.1
+    if block.pos_depth > 0:
+        return ld <= MAX_LINK_DENSITY_POSITIVE, score
+    if block.is_heading:
+        # headings outside article containers: keep only long ones
+        return ld == 0.0 and block.chars >= MIN_CONTENT_CHARS, score
+    keep = ld <= MAX_LINK_DENSITY_DEFAULT and block.chars >= MIN_CONTENT_CHARS
+    return keep, score
+
+
+def _finalize_text(parts: list[str]) -> str:
+    """Collapse whitespace, then decode entities (see module docstring)."""
+    raw = "".join(parts)
+    collapsed = _WS_COLLAPSE_RE.sub(" ", raw)
+    lines = [ln.strip(" ") for ln in collapsed.split("\n")]
+    out = "\n".join(lines).strip("\n")
+    return _htmlmod.unescape(out)
+
+
+class _Tokenizer:
+    """Single-pass incremental tokenizer over one HTML byte buffer."""
+
+    __slots__ = ("buf", "pos", "n")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.n = len(buf)
+
+    def tokens(self):
+        """Yield ('text', str) | ('open', name, selfclosing) | ('close', name)."""
+        buf, n = self.buf, self.n
+        while self.pos < n:
+            lt = buf.find(b"<", self.pos)
+            if lt < 0:
+                yield ("text", buf[self.pos:].decode("utf-8", "replace"))
+                break
+            if lt > self.pos:
+                yield ("text", buf[self.pos: lt].decode("utf-8", "replace"))
+            self.pos = lt
+            if buf.startswith(b"<!--", lt):
+                end = buf.find(b"-->", lt + 4)
+                self.pos = n if end < 0 else end + 3
+                continue
+            if buf.startswith(b"<!", lt) or buf.startswith(b"<?", lt):
+                end = buf.find(b">", lt)
+                self.pos = n if end < 0 else end + 1
+                continue
+            closing = buf.startswith(b"</", lt)
+            m = _TAG_NAME_RE.match(buf, lt + (2 if closing else 1))
+            if not m:
+                # stray '<' — emit it as text
+                yield ("text", "<")
+                self.pos = lt + 1
+                continue
+            name = m.group(0).decode("ascii").lower()
+            end = buf.find(b">", m.end())
+            if end < 0:
+                self.pos = n
+                break
+            selfclosing = buf[end - 1: end] == b"/"
+            self.pos = end + 1
+            if closing:
+                yield ("close", name)
+            else:
+                yield ("open", name, selfclosing)
+                if name in SKIP_CONTENT_TAGS and not selfclosing:
+                    close_pat = b"</" + name.encode() + b">"
+                    idx = buf.lower().find(close_pat, self.pos)
+                    self.pos = n if idx < 0 else idx + len(close_pat)
+                    yield ("close", name)
+
+
+def extract_html(data: bytes) -> ExtractResult:
+    """Extract main-content text + block spans from one HTML byte buffer."""
+    blocks: list[Block] = []
+    parts: list[str] = []
+    link_chars = 0
+    raw_chars = 0
+    n_tags = 0
+    pos_depth = 0
+    neg_depth = 0
+    link_depth = 0
+    head_depth = 0
+    title_depth = 0
+    title_parts: list[str] = []
+    cur_tag = ""
+    heading = False
+
+    def flush():
+        nonlocal parts, link_chars, raw_chars, n_tags
+        if raw_chars or parts:
+            text = _finalize_text(parts)
+            blk = Block(
+                text=text,
+                chars=len(text),
+                link_chars=min(link_chars, len(text)),
+                n_tags=n_tags,
+                pos_depth=pos_depth,
+                neg_depth=neg_depth,
+                tag=cur_tag,
+                is_heading=heading,
+            )
+            if blk.text:
+                blocks.append(blk)
+        parts, link_chars, raw_chars, n_tags = [], 0, 0, 0
+
+    for tok in _Tokenizer(data).tokens():
+        kind = tok[0]
+        if kind == "text":
+            txt = tok[1]
+            if title_depth > 0:
+                title_parts.append(txt)
+                continue
+            if head_depth > 0:
+                continue
+            stripped_len = len(txt.strip())
+            if stripped_len or parts:
+                parts.append(txt)
+                raw_chars += stripped_len
+                if link_depth > 0:
+                    link_chars += stripped_len
+            continue
+        name = tok[1]
+        if kind == "open":
+            selfclosing = tok[2]
+            if name == "br":
+                parts.append("\n")
+                continue
+            if name in BLOCK_TAGS:
+                flush()
+                cur_tag = name
+                heading = name in ("h1", "h2", "h3", "h4", "h5", "h6")
+                if not selfclosing:
+                    if name in POSITIVE_CONTAINERS:
+                        pos_depth += 1
+                    elif name in NEGATIVE_CONTAINERS:
+                        neg_depth += 1
+                    elif name == "head":
+                        head_depth += 1
+                    elif name == "title":
+                        title_depth += 1
+            else:
+                n_tags += 1
+                if name == "a" and not selfclosing:
+                    link_depth += 1
+        else:  # close
+            if name in BLOCK_TAGS:
+                flush()
+                if name in POSITIVE_CONTAINERS:
+                    pos_depth = max(0, pos_depth - 1)
+                elif name in NEGATIVE_CONTAINERS:
+                    neg_depth = max(0, neg_depth - 1)
+                elif name == "head":
+                    head_depth = max(0, head_depth - 1)
+                elif name == "title":
+                    title_depth = max(0, title_depth - 1)
+                heading = False
+                cur_tag = ""
+            elif name == "a":
+                link_depth = max(0, link_depth - 1)
+    flush()
+
+    kept_texts: list[str] = []
+    spans: list[tuple[int, int]] = []
+    scores: list[float] = []
+    offset = 0
+    n_kept = 0
+    for blk in blocks:
+        keep, score = _classify(blk)
+        if keep:
+            if kept_texts:
+                offset += 1  # the '\n' joiner
+            kept_texts.append(blk.text)
+            spans.append((offset, offset + len(blk.text)))
+            scores.append(score)
+            offset += len(blk.text)
+            n_kept += 1
+
+    return ExtractResult(
+        text="\n".join(kept_texts),
+        spans=spans,
+        n_blocks=len(blocks),
+        n_kept=n_kept,
+        title=_finalize_text(title_parts),
+        scores=scores,
+    )
+
+
+# ---------------------------------------------------------------- wrapping
+
+def escape_for_html(text: str) -> str:
+    """Escape plain text so that ``extract_html`` round-trips it exactly.
+
+    '\\n' becomes ``<br>``; runs of 2+ spaces are protected with ``&#32;``
+    so whitespace collapsing cannot merge them; leading/trailing spaces of a
+    line are likewise protected from block-edge stripping.
+    """
+    out = (
+        text.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+    )
+
+    def _protect(m: re.Match) -> str:
+        s = m.group(0)
+        return " " + "&#32;" * (len(s) - 1) if len(s) > 1 else s
+
+    out = re.sub(r" {2,}", _protect, out)
+    lines = []
+    for ln in out.split("\n"):
+        if ln.startswith(" "):
+            ln = "&#32;" + ln[1:]
+        if ln.endswith(" "):
+            ln = ln[:-1] + "&#32;"
+        lines.append(ln)
+    return "<br>".join(lines)

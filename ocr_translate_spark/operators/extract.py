@@ -1,0 +1,174 @@
+"""The extraction stage: pages -> extracted (+ per-partition lineage).
+
+Batch analog of the reference's full pipeline worker
+(ref: ocr_translate/ocr_tsl/full.py:79-173): box detection (X1), per-region
+text extraction (X2) and reading-order assembly (A5/X4) are fused into ONE
+Arrow-vectorized ``mapInPandas`` pass — the tag tokenizer emits DOM block
+spans, the block classifier scores text/link density, and span assembly
+happens in document order.  PDF payloads take the layout pass
+(kernels/pdf_extract.py).  No per-row Python outside the Arrow batch loop;
+no shuffle inside the stage.
+
+Scale notes (100 TB / 1000 executors):
+* ``salted_repartition`` breaks host-level byte skew (WARC files are
+  host-clustered; a handful of giant-page hosts would otherwise pin a few
+  tasks).  It is the only shuffle in the pipeline and is optional — when the
+  source layout is already size-balanced, rely on
+  ``spark.sql.files.maxPartitionBytes`` splits instead and skip it.
+* text_hash is computed JVM-side (``xxhash64``) after the UDF so ledger
+  hashing stays consistent with Spark SQL and costs no Python time.
+* Arrow batches are bounded by rows (session.py maxRecordsPerBatch) so a
+  run of giant pages cannot blow a python worker's memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Iterator
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, functions as F
+
+from .. import EXTRACTOR_VERSION
+from ..kernels.html_extract import extract_html
+from ..kernels.pdf_extract import extract_pdf, is_pdf
+
+
+@dataclass(frozen=True)
+class ExtractOptions:
+    """Job options; hashed into the run cache key exactly like the
+    reference's interned OptionDict (ref models/base.py:49-54)."""
+
+    max_link_density: float = 0.33
+    min_content_chars: int = 25
+    keep_title: bool = True
+    extras: dict = field(default_factory=dict)
+
+    def options_hash(self) -> str:
+        blob = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+_STAGE_SCHEMA = (
+    "url string, lang string, extracted_text string, "
+    "spans array<struct<start:long,end:long>>, n_blocks int, n_kept int, "
+    "title string, payload_kind string, bytes_in long, "
+    "partition_id int, input_split string, wall_ms double"
+)
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 8) -> DataFrame:
+    """Repartition on a salted url-hash to break host/byte skew (north_rule).
+
+    ``xxhash64(url) % (P * salt)`` gives ``salt`` buckets per target
+    partition, so even a pathological upstream layout (all giant pages in
+    one input split) spreads evenly.
+    """
+    buckets = num_partitions * salt
+    return df.repartition(
+        num_partitions, F.pmod(F.xxhash64(F.col("url")), F.lit(buckets))
+    )
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    for pdf in batches:
+        t0 = time.monotonic()
+        out = {
+            "url": pdf["url"],
+            "lang": pdf["lang"],
+            "extracted_text": [],
+            "spans": [],
+            "n_blocks": [],
+            "n_kept": [],
+            "title": [],
+            "payload_kind": [],
+            "bytes_in": [],
+        }
+        for data in pdf["html"]:
+            raw = bytes(data) if data is not None else b""
+            if is_pdf(raw):
+                text, spans, n_objs = extract_pdf(raw)
+                out["extracted_text"].append(text)
+                out["spans"].append([{"start": s, "end": e} for s, e in spans])
+                out["n_blocks"].append(n_objs)
+                out["n_kept"].append(n_objs)
+                out["title"].append("")
+                out["payload_kind"].append("pdf")
+            else:
+                res = extract_html(raw)
+                out["extracted_text"].append(res.text)
+                out["spans"].append([{"start": s, "end": e} for s, e in res.spans])
+                out["n_blocks"].append(res.n_blocks)
+                out["n_kept"].append(res.n_kept)
+                out["title"].append(res.title)
+                out["payload_kind"].append("html")
+            out["bytes_in"].append(len(raw))
+        wall = (time.monotonic() - t0) * 1000.0
+        result = pd.DataFrame(out)
+        result["partition_id"] = pid
+        result["input_split"] = pdf["input_split"] if "input_split" in pdf else ""
+        # amortize the batch wall-clock over its rows so a plain SUM at the
+        # metrics aggregation recovers the true per-partition wall time
+        result["wall_ms"] = wall / max(len(result), 1)
+        yield result
+
+
+def extract_pages(
+    df: DataFrame,
+    options: ExtractOptions | None = None,
+    repartition: int | None = None,
+    salt: int = 8,
+) -> DataFrame:
+    """pages DataFrame -> extracted DataFrame (EXTRACTED schema + lineage cols).
+
+    The returned frame carries ``partition_id``/``input_split``/``wall_ms``
+    lineage columns; ``finalize_extracted``/``partition_metrics`` split them
+    off for the two sinks.
+    """
+    options = options or ExtractOptions()
+    src = df.withColumn("input_split", F.input_file_name())
+    src = src.select("url", "html", "lang", "input_split")
+    if repartition:
+        src = salted_repartition(src, repartition, salt)
+    staged = src.mapInPandas(_extract_batches, schema=_STAGE_SCHEMA)
+    return (
+        staged.withColumn("text_hash", F.xxhash64(F.col("extracted_text")))
+        .withColumn("extractor_version", F.lit(EXTRACTOR_VERSION))
+        .withColumn("options_hash", F.lit(options.options_hash()))
+    )
+
+
+def finalize_extracted(staged: DataFrame) -> DataFrame:
+    """Project the EXTRACTED table columns (drop lineage)."""
+    return staged.select(
+        "url", "lang", "extracted_text", "spans", "n_blocks", "n_kept",
+        "title", "payload_kind", "text_hash", "bytes_in",
+        "extractor_version", "options_hash",
+    )
+
+
+def partition_metrics(staged: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition lineage rows (north_rule; METRICS schema).
+
+    Aggregated JVM-side from the lineage columns the stage emitted — one
+    row per task partition: row count, input bytes, an order-insensitive
+    extraction hash, and the batch wall-clock.
+    """
+    return (
+        staged.groupBy("partition_id")
+        .agg(
+            F.max("input_split").alias("input_split"),
+            F.count("*").alias("row_count"),
+            F.sum("bytes_in").alias("bytes_in"),
+            # bit_xor: order-insensitive combine with no ANSI overflow risk
+            F.expr("bit_xor(text_hash)").alias("extraction_hash"),
+            F.sum("wall_ms").cast("long").alias("wall_clock_ms"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+    )

@@ -1,0 +1,157 @@
+"""End-to-end extraction job orchestration.
+
+The batch analog of the reference's request lifecycle
+(ref: ocr_translate/views.py:215-297 + ocr_tsl/full.py:79-173), SURVEY.md §3.4:
+
+    pages scan
+      -> dropDuplicates(url)                      (C3 in-flight dedup)
+      -> anti-join vs committed `runs` ledger     (C1 memoization; `force`
+         skips it, ref models/box.py:131-173)
+      -> salted repartition on url-hash           (skew, north_rule)
+      -> ONE mapInPandas Arrow stage              (X1+X2+A5 fused)
+      -> xxhash64 + version/options columns       (JVM-side)
+      -> stage parquet, derive `runs` + `metrics` from the staged files
+      -> single atomic snapshot commit of extracted+runs+metrics
+
+Because `runs` and `extracted` publish in the same snapshot, a killed run
+re-executes only the pages absent from the ledger — idempotent resume, the
+reference's lazy-path semantics (ref full.py:28-74) at batch scale.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import EXTRACTOR_VERSION
+from .io.tables import Warehouse
+from .operators.extract import (
+    ExtractOptions,
+    extract_pages,
+    finalize_extracted,
+    partition_metrics,
+)
+from .schemas import RUNS
+
+_LINEAGE_COLS = ("partition_id", "input_split", "wall_ms")
+
+
+def pending_pages(
+    pages: DataFrame,
+    runs: DataFrame,
+    options_hash: str,
+    force: bool = False,
+) -> DataFrame:
+    """Pages with no committed run for (extractor_version, options_hash).
+
+    The left anti-join is the batch form of the reference's per-item memo
+    probe (ref models/box.py:131: ``filter(**params).first()``); version
+    mismatches re-extract, which subsumes the reference's stale-entry
+    invalidation (ref box.py:132-137).
+    """
+    deduped = pages.dropDuplicates(["url"])
+    if force:
+        return deduped
+    done = runs.filter(
+        (F.col("extractor_version") == EXTRACTOR_VERSION)
+        & (F.col("options_hash") == options_hash)
+    ).select("url")
+    return deduped.join(done, "url", "left_anti")
+
+
+def run_extraction(
+    spark: SparkSession,
+    pages: DataFrame,
+    warehouse_root: str,
+    options: ExtractOptions | None = None,
+    force: bool = False,
+    repartition: int | None = None,
+) -> dict:
+    """Run the incremental extraction job; returns commit stats.
+
+    Stats: {run_id, snapshot_id, n_pending, n_written}.  n_pending == 0
+    means the ledger already covered every input page and nothing ran —
+    the memoization fast path (second invocation computes zero rows).
+    """
+    options = options or ExtractOptions()
+    opts_hash = options.options_hash()
+    wh = Warehouse(warehouse_root)
+    run_id = uuid.uuid4().hex[:12]
+
+    runs = wh.read(spark, "runs", schema=RUNS)
+    todo = pending_pages(pages, runs, opts_hash, force=force)
+
+    staged_df = extract_pages(todo, options=options, repartition=repartition)
+    data_dir = wh.stage(staged_df, "extracted")
+
+    # derive ledger + lineage from the files actually written (single
+    # compute pass; the read-back is columnar and cheap)
+    written = spark.read.parquet(data_dir)
+    n_written = written.count()
+    if n_written == 0:
+        return {
+            "run_id": run_id,
+            "snapshot_id": wh.current_snapshot_id(),
+            "n_written": 0,
+        }
+
+    snapshot_id = wh.current_snapshot_id() + 1
+    runs_new = written.select(
+        "url", "extractor_version", "options_hash", "text_hash"
+    ).withColumn("snapshot_id", F.lit(snapshot_id))
+    metrics_new = partition_metrics(written, run_id)
+
+    staged = {
+        "extracted": [data_dir],
+        "runs": [wh.stage(runs_new, "runs")],
+        "metrics": [wh.stage(metrics_new, "metrics")],
+    }
+    committed = wh.commit(staged)
+    return {"run_id": run_id, "snapshot_id": committed, "n_written": n_written}
+
+
+def read_extracted(
+    spark: SparkSession,
+    warehouse_root: str,
+    snapshot_id: int | None = None,
+    latest_only: bool = True,
+) -> DataFrame:
+    """Committed extraction results (EXTRACTED columns, lineage dropped).
+
+    With ``latest_only`` a url extracted under several versions/options
+    yields only the newest row (version invalidation read-side, C2).
+    """
+    wh = Warehouse(warehouse_root)
+    df = wh.read(spark, "extracted", snapshot_id=snapshot_id)
+    out = finalize_extracted(df)
+    if latest_only:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url").orderBy(
+            F.desc("extractor_version"), F.desc("options_hash")
+        )
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return out
+
+
+def apply_overrides(extracted: DataFrame, overrides: DataFrame) -> DataFrame:
+    """Manual-override priority join (J5, ref models/tsl.py:216-235,269-271).
+
+    ``overrides(url, text)`` rows win over computed text via left join +
+    coalesce; the dimension is broadcast (it is human-curated, i.e. tiny
+    relative to the corpus).
+    """
+    ov = F.broadcast(overrides.select(
+        F.col("url").alias("_ov_url"), F.col("text").alias("_ov_text")
+    ))
+    return (
+        extracted.join(ov, extracted["url"] == ov["_ov_url"], "left")
+        .withColumn("is_manual", F.col("_ov_text").isNotNull())
+        .withColumn("final_text", F.coalesce(F.col("_ov_text"), F.col("extracted_text")))
+        .drop("_ov_url", "_ov_text")
+    )

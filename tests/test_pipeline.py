@@ -1,0 +1,180 @@
+"""End-to-end extraction pipeline tests (golden parity + resume semantics).
+
+Mirrors the reference's test layers (SURVEY.md §5): golden byte-identical
+extraction per url, run reuse (ref tests/test_models.py:205
+test_box_run_reuse), manual-override priority (ref tests/test_models.py:544),
+and idempotent resume.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocr_translate_spark.corpus import pages_df, pages_pandas
+from ocr_translate_spark.io.tables import Warehouse
+from ocr_translate_spark.operators.extract import ExtractOptions
+from ocr_translate_spark.pipeline import (
+    apply_overrides,
+    read_extracted,
+    run_extraction,
+)
+from ocr_translate_spark.schemas import METRICS, RUNS
+
+N_PAGES = 160  # covers all 16 variant slots 10x
+
+
+@pytest.fixture()
+def pages(spark):
+    return pages_df(spark, N_PAGES, partitions=4)
+
+
+def test_extraction_golden_byte_identical(spark, pages, tmp_path):
+    """Every page's extracted text is byte-identical to its golden
+    (north_star correctness contract)."""
+    root = str(tmp_path / "wh")
+    stats = run_extraction(spark, pages, root, repartition=4)
+    assert stats["n_written"] == N_PAGES
+
+    got = read_extracted(spark, root).select("url", "extracted_text")
+    golden = pages.select("url", F.col("text").alias("expected"))
+    joined = got.join(golden, "url")
+    mismatched = joined.filter(
+        F.col("extracted_text") != F.col("expected")
+    ).count()
+    assert mismatched == 0
+    assert joined.count() == N_PAGES
+
+
+def test_spans_index_extracted_text(spark, pages, tmp_path):
+    root = str(tmp_path / "wh")
+    run_extraction(spark, pages, root)
+    rows = (
+        read_extracted(spark, root)
+        .select("extracted_text", "spans")
+        .filter(F.size("spans") > 0)
+        .limit(20)
+        .collect()
+    )
+    assert rows
+    for row in rows:
+        for span in row["spans"]:
+            seg = row["extracted_text"][span["start"]: span["end"]]
+            assert seg and "\n" not in seg or seg  # spans cover kept blocks
+
+
+def test_memoization_second_run_computes_zero(spark, pages, tmp_path):
+    """C1: re-running the same job extracts nothing (ledger hit)."""
+    root = str(tmp_path / "wh")
+    first = run_extraction(spark, pages, root)
+    assert first["n_written"] == N_PAGES
+    second = run_extraction(spark, pages, root)
+    assert second["n_written"] == 0
+    # and the committed table did not grow
+    assert read_extracted(spark, root).count() == N_PAGES
+
+
+def test_force_recomputes(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    pages = pages_df(spark, 32, partitions=2)
+    run_extraction(spark, pages, root)
+    stats = run_extraction(spark, pages, root, force=True)
+    assert stats["n_written"] == 32
+    # read-side dedup keeps one row per url
+    assert read_extracted(spark, root).count() == 32
+
+
+def test_resume_after_partial_commit(spark, tmp_path):
+    """Kill-and-restart: pages committed before the 'crash' are not
+    recomputed; the union equals a clean full run (north_rule resume)."""
+    root = str(tmp_path / "wh")
+    first_half = pages_df(spark, 48, partitions=2).limit(30)
+    run_extraction(spark, first_half, root)
+
+    full = pages_df(spark, 48, partitions=2)
+    stats = run_extraction(spark, full, root)
+    assert stats["n_written"] == 48 - 30
+    assert read_extracted(spark, root).count() == 48
+
+
+def test_options_change_recomputes(spark, tmp_path):
+    """Options are part of the memo key (ref OptionDict interning)."""
+    root = str(tmp_path / "wh")
+    pages = pages_df(spark, 16, partitions=2)
+    run_extraction(spark, pages, root)
+    stats = run_extraction(
+        spark, pages, root, options=ExtractOptions(min_content_chars=10)
+    )
+    assert stats["n_written"] == 16
+
+
+def test_dup_urls_deduped(spark, tmp_path):
+    """C3: identical urls collapse before compute."""
+    root = str(tmp_path / "wh")
+    pages = pages_df(spark, 16, partitions=2)
+    doubled = pages.union(pages)
+    stats = run_extraction(spark, doubled, root)
+    assert stats["n_written"] == 16
+
+
+def test_metrics_lineage_rows(spark, pages, tmp_path):
+    root = str(tmp_path / "wh")
+    run_extraction(spark, pages, root, repartition=4)
+    wh = Warehouse(root)
+    metrics = wh.read(spark, "metrics", schema=METRICS)
+    rows = metrics.collect()
+    assert rows
+    assert sum(r["row_count"] for r in rows) == N_PAGES
+    assert all(r["bytes_in"] > 0 for r in rows)
+    assert set(metrics.columns) == {
+        "partition_id", "input_split", "row_count", "bytes_in",
+        "extraction_hash", "wall_clock_ms", "run_id",
+    }
+
+
+def test_runs_ledger_schema(spark, pages, tmp_path):
+    root = str(tmp_path / "wh")
+    run_extraction(spark, pages, root)
+    runs = Warehouse(root).read(spark, "runs", schema=RUNS)
+    assert runs.count() == N_PAGES
+    assert runs.select("snapshot_id").distinct().count() == 1
+
+
+def test_overrides_priority(spark, tmp_path):
+    """J5: manual overrides win via left join + coalesce
+    (ref models/tsl.py:269-271 favor_manual)."""
+    root = str(tmp_path / "wh")
+    pages = pages_df(spark, 16, partitions=2)
+    run_extraction(spark, pages, root)
+    extracted = read_extracted(spark, root)
+
+    some_url = extracted.select("url").orderBy("url").first()["url"]
+    overrides = extracted.sparkSession.createDataFrame(
+        [(some_url, "HUMAN FIXED")], "url string, text string"
+    )
+    out = apply_overrides(extracted, overrides)
+    fixed = out.filter(F.col("url") == some_url).first()
+    assert fixed["final_text"] == "HUMAN FIXED" and fixed["is_manual"]
+    others = out.filter(~F.col("is_manual"))
+    assert others.filter(
+        F.col("final_text") != F.col("extracted_text")
+    ).count() == 0
+
+
+def test_pdf_pages_extracted(spark, pages, tmp_path):
+    root = str(tmp_path / "wh")
+    run_extraction(spark, pages, root)
+    pdfs = read_extracted(spark, root).filter(F.col("payload_kind") == "pdf")
+    assert pdfs.count() > 0
+    assert pdfs.filter(F.length("extracted_text") > 0).count() == pdfs.count()
+
+
+def test_corpus_determinism_local_vs_spark(spark):
+    """pages_df (distributed) equals pages_pandas (driver-side) row for row."""
+    local = pages_pandas(24).set_index("url")
+    dist = pages_df(spark, 24, partitions=3).toPandas().set_index("url")
+    assert sorted(local.index) == sorted(dist.index)
+    for url in local.index:
+        assert local.loc[url, "text"] == dist.loc[url, "text"]
+        assert bytes(local.loc[url, "html"]) == bytes(dist.loc[url, "html"])

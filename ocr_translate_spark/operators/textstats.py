@@ -1,0 +1,104 @@
+"""Text-analysis operators over a documents table: language ID, quality
+scoring, token counting, fingerprinting.
+
+These are the corpus-hygiene stages a 100 TB training-data pipeline runs
+after extraction.  Everything here is native ``pyspark.sql.functions`` —
+JVM-side, codegen'd, no Python in the hot path — and every regex is
+RE2-compatible so the DuckDB oracle can express the identical computation
+(no lookarounds).
+
+Determinism note: ratios are exact IEEE divisions of integer counts, so
+Spark and the oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# BPE-ish token classes: letter runs, digit runs, single other non-space.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_REGEX = r"[^A-Za-z0-9\s]"
+
+# tiny per-language stopword markers for the n-gram/stopword language ID
+# heuristic (the reference carries language metadata as a dimension,
+# ref models/base.py:72-89; here we *infer* it for raw web text)
+LANG_MARKERS = {
+    "en": ("the", "a", "is", "of", "and"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Number of whitespace-separated tokens."""
+    toks = F.filter(F.split(text, r"\s+", -1), lambda x: x != F.lit(""))
+    return F.size(toks)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Number of TOKEN_REGEX matches (letter runs / digit runs / symbols)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def punct_ratio(text: Column) -> Column:
+    """punctuation chars / total non-space chars (0 when empty)."""
+    punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_REGEX), F.lit(0)))
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    return F.when(nonspace > 0, punct.cast("double") / nonspace.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, lang_markers: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """stopword tokens / whitespace tokens (0 when empty)."""
+    toks = F.filter(F.split(F.lower(text), r"\s+", -1), lambda x: x != F.lit(""))
+    stops = F.size(F.filter(toks, lambda x: x.isin(*lang_markers)))
+    total = F.size(toks)
+    return F.when(total > 0, stops.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: long enough, not too
+    punctuation-heavy, has some stopwords (C4/Gopher-style rules)."""
+    n = F.length(text)
+    len_ok = F.when(n >= 200, F.lit(1.0)).otherwise(n.cast("double") / 200.0)
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4.0)
+    stop_sig = F.least(F.lit(1.0), stopword_ratio(text) * 10.0)
+    return F.round((len_ok + punct_pen + stop_sig) / 3.0, 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-marker language ID over {en,de,fr,es}; 'und' (undetermined)
+    when no markers hit.  Deterministic argmax with fixed tie order."""
+    toks = F.filter(F.split(F.lower(text), r"\s+", -1), lambda x: x != F.lit(""))
+
+    def marker_count(markers: tuple[str, ...]):
+        # NB: higher-order-function lambdas must be single-parameter —
+        # PySpark binds a Column to every named parameter, defaults included
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    counts = {lang: marker_count(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    out = F.lit("und")
+    # reversed so earlier langs win ties (when() chains short-circuit)
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint_norm(text: Column) -> Column:
+    """Normalization fingerprint: md5 of lowercased, whitespace-collapsed
+    text — the cheap exact-dup key after cosmetic edits."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(norm)
+
+
+def rolling_fingerprint(text: Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min xxhash64 over word
+    ``window``-grams.  Spark-native; robust to local edits outside the
+    minimal window.  (Not DuckDB-expressible: xxhash64 — rows-only check.)
+    """
+    words = F.filter(F.split(F.lower(text), r"\s+", -1), lambda x: x != F.lit(""))
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, window))))
+    return F.array_min(grams)

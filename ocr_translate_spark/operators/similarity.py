@@ -23,6 +23,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def as_double(col) -> "F.Column":
+    """Promote array<float> to array<double> BEFORE arithmetic — float32
+    multiplies lose precision and won't reproduce across engines."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -32,7 +38,8 @@ def _dot(a, b):
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Attach the L2 norm (JVM-side)."""
+    """Attach the double-cast vector and its L2 norm (JVM-side)."""
+    df = df.withColumn(vec_col, as_double(F.col(vec_col)))
     return df.withColumn("_norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
 
 

@@ -1,0 +1,727 @@
+"""Driver-contract query library: Spark queries + DuckDB oracle SQL.
+
+Each entry implements an operator family from SURVEY.md §2 over the
+driver-provided tables (region nation customer supplier part orders
+lineitem events documents embeddings).  ``QUERY_FNS[name](spark, sf_dir)``
+returns a DataFrame; ``ORACLE_SQL[name]`` is the ANSI/DuckDB equivalent.
+Column names and types are aligned on both sides (the driver hashes values
+after sorting columns by name).
+
+Cross-engine determinism rules used throughout:
+* aggregates on integers stay integer (DuckDB ``sum(int)`` is HUGEINT —
+  always cast to BIGINT); money sums go through DECIMAL(18,2);
+* float vector math promotes float32 -> double BEFORE multiplying and
+  accumulates in index order — bit-identical between Spark ``aggregate``
+  and DuckDB ``list_sum`` (verified);
+* every regex is RE2-compatible (no lookarounds) so Spark (Java regex)
+  and DuckDB (RE2) agree;
+* ties are always broken by an explicit deterministic key.
+
+Queries whose physical operators are not SQL-expressible (xxhash64-based
+MinHash/SimHash, numpy LSH planes, the synthetic-corpus extraction) have no
+oracle entry — the driver records a rows-only check for them.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .corpus import pages_df
+from .kernels.pdf_extract import make_pdf
+from .operators import dedup, multimodal, similarity, textstats
+from .operators.extract import extract_pages
+from .operators.normalize import restore_dash_newlines_col
+from .streaming.events import windowed_counts
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------
+# extraction core (documents wrapped into real pages, then extracted by
+# the actual Arrow pipeline; the oracle knows the wrapped text must
+# round-trip byte-identically)
+# ---------------------------------------------------------------------
+
+_HDR = (
+    '<!DOCTYPE html><html><head><title>doc</title><style>body{margin:0}</style>'
+    '<script>var x = 1;</script></head><body>'
+    "<header><h1>Site</h1></header>"
+    '<nav><ul><li><a href="/">Home</a></li><li><a href="/a">About</a></li></ul></nav>'
+    '<div class="sidebar"><ul><li><a href="/1">link one</a></li>'
+    '<li><a href="/2">link two</a></li><li><a href="/3">link three</a></li></ul></div>'
+    "<div>Ad: buy now!</div>"
+)
+_FTR = '<footer><p>copyright 2024 <a href="/tos">terms</a></p></footer></body></html>'
+
+
+def _html_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HDR), F.lit("<article><p>"), F.col("text"),
+        F.lit("</p></article>"), F.lit(_FTR),
+    )
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+        "lang",
+    )
+
+
+def _doc_id(col: str = "url"):
+    return F.split(F.col(col), "//", -1)[1].cast("long").alias("doc_id")
+
+
+def q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+X2+A5: full HTML extraction; boilerplate stripped, article text
+    byte-identical to the source document."""
+    pages = _html_pages_from_documents(spark, sf_dir)
+    ext = extract_pages(pages)
+    return ext.select(_doc_id(), "extracted_text")
+
+
+def q_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/F9 content addressing: md5 + length of the extracted text."""
+    pages = _html_pages_from_documents(spark, sf_dir)
+    ext = extract_pages(pages)
+    return ext.select(
+        _doc_id(),
+        F.md5(F.col("extracted_text")).alias("content_md5"),
+        F.length("extracted_text").cast("long").alias("n_chars"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )
+
+
+def q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF layout pass: text objects round-trip byte-identically."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": "doc://" + pdf["doc_id"].astype(str),
+                "html": [make_pdf([t]) for t in pdf["text"]],
+                "lang": pdf["lang"],
+            })
+
+    pages = docs.mapInPandas(wrap, "url string, html binary, lang string")
+    ext = extract_pages(pages)
+    return ext.select(_doc_id(), "extracted_text", "payload_kind")
+
+
+# ---------------------------------------------------------------------
+# normalization (F1-F8)
+# ---------------------------------------------------------------------
+
+def q_normalize_dash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: inject a dash-newline split after the first word, restore it."""
+    docs = load(spark, sf_dir, "documents")
+    # replace the first space with '-\n' to plant a hyphen-split word
+    dashed = F.regexp_replace(F.col("text"), r"^([^ ]*) ", "$1-\n")
+    return docs.select(
+        F.col("doc_id"),
+        restore_dash_newlines_col(dashed).alias("restored"),
+    )
+
+
+def q_tokenize_breakchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: break-char tokenization (break on 'e' and '.') — token count."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"[e\.+]", -1), lambda x: x != F.lit(""))
+    return docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+
+
+def q_nospace_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: strip spaces for no-space languages (ref models/ocr.py:231)."""
+    docs = load(spark, sf_dir, "documents")
+    from .operators.normalize import strip_nospace_lang_col
+
+    return docs.select(
+        "doc_id", "lang",
+        strip_nospace_lang_col(F.col("text"), F.col("lang")).alias("cleaned"),
+    )
+
+
+# ---------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.whitespace_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        textstats.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    # raw (unrounded) variant of textstats.quality_score: identical integer
+    # inputs make the IEEE result bit-identical across engines, while
+    # round() tie rules differ between Spark and DuckDB
+    docs = docs.withColumn("_n", F.length("text").cast("double"))
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(textstats.PUNCT_REGEX), F.lit(0))).cast("double")
+    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("double")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+", -1), lambda x: x != F.lit(""))
+    stops = F.size(F.filter(toks, lambda x: x.isin(*textstats.LANG_MARKERS["en"]))).cast("double")
+    total = F.size(toks).cast("double")
+    len_ok = F.when(F.col("_n") >= 200, F.lit(1.0)).otherwise(F.col("_n") / 200.0)
+    punct_pen = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0)) * 4.0,
+    )
+    stop_sig = F.least(F.lit(1.0), F.when(total > 0, stops / total).otherwise(F.lit(0.0)) * 10.0)
+    return docs.select("doc_id", ((len_ok + punct_pen + stop_sig) / 3.0).alias("quality"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.fingerprint_norm(F.col("text")).alias("fp"))
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 winnowing fingerprint — rows-only check (no SQL analog)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.rolling_fingerprint(F.col("text")).alias("rfp")
+    )
+
+
+def q_common_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary histogram: explode tokens, top-20 by count."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+", -1), lambda x: x != F.lit(""))
+    return (
+        docs.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.col("word"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------
+
+def _doubled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ (documents with shifted ids) — a corpus with known dups."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.union(docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: exact-dup groups over a corpus with planted duplicates."""
+    return dedup.exact_duplicates(_doubled_documents(spark, sf_dir), "doc_id", "text").select(
+        "text_hash", F.col("n_dups").cast("long").alias("n_dups"), "keeper"
+    )
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dups over planted exact+near duplicates."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"^([^ ]*) ", "changedword ").alias("text"),
+    )
+    both = docs.union(mutated)
+    pairs = dedup.jaccard_pairs(both, "doc_id", "text", n=3, threshold=0.5)
+    # raw double: a ratio of identical ints is bit-identical across engines
+    return pairs.select("id_a", "id_b", "jaccard")
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates — rows-only (xxhash64 not in DuckDB)."""
+    return dedup.minhash_lsh_candidates(
+        _doubled_documents(spark, sf_dir), "doc_id", "text"
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups — rows-only (xxhash64 not in DuckDB)."""
+    return dedup.simhash_near_dups(
+        _doubled_documents(spark, sf_dir), "doc_id", "text", max_hamming=3
+    )
+
+
+# ---------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors (exact baseline)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("cosine"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs over planted near-identical vectors."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sims = similarity.with_norm(emb)
+    left = sims.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), F.col("_norm").alias("_na"))
+    right = sims.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"), F.col("_norm").alias("_nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        left.crossJoin(right)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("cosine") >= 0.5)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — rows-only (numpy hyperplanes not in SQL)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, k=5, n_planes=6)
+
+
+# ---------------------------------------------------------------------
+# catalog / relational (A1-A3, J5/J6, P5, U1, O1-O2)
+# ---------------------------------------------------------------------
+
+def q_ranked_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/O1: popularity ranking (ref cached_lists.py:48-64)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.col("source"))
+    )
+
+
+def q_most_used_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/O2: argmax by count (ref initializers.py:67-77)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.col("event_type"))
+        .limit(1)
+    )
+
+
+def q_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: latest event per entity (ref models/base.py:311-324)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("event_type").alias("last_type"),
+                F.col("event_id").alias("last_event_id"))
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user session counts (30-min gap)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("_brk", brk)
+        .groupBy("user_id")
+        .agg(F.sum("_brk").alias("n_sessions"))
+    )
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-min windows: the batch form of the streaming plan
+    (streaming/events.py shares the same grouping; see
+    test_streaming_windowed_counts_matches_batch)."""
+    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = windowed_counts(ev.withColumn("value", F.col("value").cast("decimal(18,6)")))
+    return agg.select(
+        F.col("window_start").cast("long").alias("window_epoch"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        # decimal per-row cast + decimal add = order-insensitive exact sum
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/C1 shape: left anti-join (ref initializers.py:150-158; the memo
+    ledger anti-join uses the identical physical op)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 shape: left join + coalesce default (ref tsl.py:269-271)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    cnt = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return cust.join(cnt, cust.c_custkey == cnt.o_custkey, "left").select(
+        "c_custkey", F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders")
+    )
+
+
+def q_nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: set difference (ref models/base.py:374-383)."""
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
+    return nation.select(F.col("n_nationkey").cast("long").alias("nk")).exceptAll(
+        supplier.select(F.col("s_nationkey").cast("long").alias("nk"))
+    ).distinct()
+
+
+def q_suppliers_per_nation_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: HAVING on aggregate (ref models/base.py:317-318)."""
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        supplier.groupBy("s_nationkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 3)
+        .select(F.col("s_nationkey").cast("long").alias("s_nationkey"), "n")
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregation; money in DECIMAL(18,2) for exactness."""
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # per-row decimal cast + decimal add: order-insensitive exact
+            # sums; final double cast for engine-neutral schema
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            # keep the product at full scale (37,4) — recasting to (18,2)
+            # pre-sum rounds differently across engines
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc)).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + agg + top-k (J8/A1/O3 composition)."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "revenue")
+        .orderBy(F.desc("revenue"), F.col("s_suppkey"))
+        .limit(10)
+    )
+
+
+def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesize PNG headers, parse them back."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    multimodal.make_png_bytes(int(i) % 640 + 1, int(i) % 480 + 1)
+                    for i in pdf["doc_id"]
+                ],
+            })
+
+    imgs = docs.mapInPandas(build, "doc_id long, payload binary")
+    meta = multimodal.image_metadata(imgs, "payload")
+    return meta.select(
+        "doc_id", "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+def q_extract_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full synthetic-corpus extraction (all 11 page classes incl.
+    boilerplate/link-farm/PDF/giant/CJK) — rows-only; per-url goldens are
+    asserted in pytest instead (text column == extracted_text)."""
+    pages = pages_df(spark, 512, partitions=8)
+    ext = extract_pages(pages, repartition=8)
+    return ext.select("url", "extracted_text", "text_hash", "n_blocks", "n_kept")
+
+
+QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "extract_roundtrip": q_extract_roundtrip,
+    "extract_stats": q_extract_stats,
+    "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
+    "extract_corpus": q_extract_corpus,
+    "normalize_dash": q_normalize_dash,
+    "tokenize_breakchars": q_tokenize_breakchars,
+    "nospace_cleanup": q_nospace_cleanup,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
+    "quality_score": q_quality_score,
+    "fingerprint": q_fingerprint,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "common_words": q_common_words,
+    "dedup_exact": q_dedup_exact,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+    "ranked_sources": q_ranked_sources,
+    "most_used_event_type": q_most_used_event_type,
+    "last_event_per_user": q_last_event_per_user,
+    "sessionize": q_sessionize,
+    "events_windowed": q_events_windowed,
+    "customers_without_orders": q_customers_without_orders,
+    "customer_order_counts": q_customer_order_counts,
+    "nations_without_suppliers": q_nations_without_suppliers,
+    "suppliers_per_nation_having": q_suppliers_per_nation_having,
+    "pricing_summary": q_pricing_summary,
+    "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
+    "image_metadata": q_image_metadata,
+}
+
+
+_WORDS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+ORACLE_SQL: dict[str, str] = {
+    "extract_roundtrip": "SELECT doc_id, text AS extracted_text FROM documents",
+    "extract_stats": (
+        "SELECT doc_id, md5(text) AS content_md5, "
+        "CAST(length(text) AS BIGINT) AS n_chars, CAST(1 AS BIGINT) AS n_kept "
+        "FROM documents"
+    ),
+    "extract_pdf_roundtrip": (
+        "SELECT doc_id, text AS extracted_text, 'pdf' AS payload_kind FROM documents"
+    ),
+    "normalize_dash": (
+        "SELECT doc_id, regexp_replace("
+        "  regexp_replace(text, '^([^ ]*) ', '\\1-' || chr(10)),"
+        "  '([^' || chr(10) || '])- *' || chr(10), '\\1', 'g') AS restored "
+        "FROM documents"
+    ),
+    "tokenize_breakchars": (
+        "SELECT doc_id, CAST(len(list_filter("
+        "string_split_regex(text, '[e\\.+]'), x -> x <> '')) AS BIGINT) AS n_tokens "
+        "FROM documents"
+    ),
+    "nospace_cleanup": (
+        "SELECT doc_id, lang, CASE WHEN lang IN ('ja','zh','zht','lo','my') "
+        "THEN replace(text, ' ', '') ELSE text END AS cleaned FROM documents"
+    ),
+    "lang_id": f"""
+        WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+        c AS (SELECT doc_id,
+          len(list_filter(w, x -> x IN ('the','a','is','of','and'))) AS en,
+          len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS de,
+          len(list_filter(w, x -> x IN ('le','la','les','et','est'))) AS fr,
+          len(list_filter(w, x -> x IN ('el','la','los','y','es'))) AS es
+          FROM t)
+        SELECT doc_id, CASE
+          WHEN greatest(en,de,fr,es) = 0 THEN 'und'
+          WHEN en = greatest(en,de,fr,es) THEN 'en'
+          WHEN de = greatest(en,de,fr,es) THEN 'de'
+          WHEN fr = greatest(en,de,fr,es) THEN 'fr'
+          ELSE 'es' END AS lang_pred
+        FROM c
+    """,
+    "token_counts": f"""
+        SELECT doc_id,
+          CAST(len({_WORDS}) AS BIGINT) AS ws_tokens,
+          CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+        FROM documents
+    """,
+    "quality_score": r"""
+        WITH s AS (SELECT doc_id, text,
+          CAST(length(text) AS DOUBLE) AS n,
+          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct,
+          CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nonspace,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x IN ('the','a','is','of','and'))) AS DOUBLE) AS stops,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '')) AS DOUBLE) AS toks
+          FROM documents)
+        SELECT doc_id, (
+            (CASE WHEN n >= 200 THEN 1.0 ELSE n/200.0 END) +
+            greatest(0.0, 1.0 - (CASE WHEN nonspace > 0 THEN punct/nonspace ELSE 0.0 END)*4.0) +
+            least(1.0, (CASE WHEN toks > 0 THEN stops/toks ELSE 0.0 END)*10.0)
+          ) / 3.0 AS quality
+        FROM s
+    """,
+    "fingerprint": (
+        "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
+        "FROM documents"
+    ),
+    "common_words": f"""
+        SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT unnest({_WORDS}) AS word FROM documents)
+        GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+    "dedup_exact": """
+        WITH both_t AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000, text FROM documents)
+        SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_dups,
+               min(doc_id) AS keeper
+        FROM both_t GROUP BY md5(text) HAVING count(*) > 1
+    """,
+    "jaccard_pairs": r"""
+        WITH both_t AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000,
+                 regexp_replace(text, '^([^ ]*) ', 'changedword ') FROM documents),
+        w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                x -> x <> '') AS words FROM both_t),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(0, greatest(len(words)-3, 0)+1),
+                 i -> array_to_string(words[i+1:i+3], ' ')))) AS shingle
+               FROM w),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b,
+               CAST(shared AS DOUBLE) /
+               CAST(sa.set_size + sb.set_size - shared AS DOUBLE) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(shared AS DOUBLE) /
+              CAST(sa.set_size + sb.set_size - shared AS DOUBLE) >= 0.5
+    """,
+    "embedding_topk": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, len(q.v)+1),
+                   i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cosine
+          FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
+    "embedding_near_dups": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(range(1, len(a.v)+1),
+                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(1, len(a.v)+1),
+                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.5
+    """,
+    "ranked_sources": (
+        "SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents "
+        "GROUP BY source ORDER BY n DESC, source"
+    ),
+    "most_used_event_type": (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "
+        "GROUP BY event_type ORDER BY n DESC, event_type LIMIT 1"
+    ),
+    "last_event_per_user": """
+        SELECT user_id, event_type AS last_type, event_id AS last_event_id FROM (
+          SELECT user_id, event_type, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+    """,
+    "sessionize": """
+        WITH g AS (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions
+        FROM g GROUP BY user_id
+    """,
+    "events_windowed": """
+        SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS window_epoch,
+               event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "customers_without_orders": (
+        "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+    "customer_order_counts": """
+        SELECT c_custkey, CAST(coalesce(cnt, 0) AS BIGINT) AS n_orders
+        FROM customer c LEFT JOIN (
+          SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) o
+        ON c.c_custkey = o.o_custkey
+    """,
+    "nations_without_suppliers": (
+        "SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS nk FROM nation "
+        "WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier)"
+    ),
+    "suppliers_per_nation_having": (
+        "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, "
+        "CAST(count(*) AS BIGINT) AS n FROM supplier "
+        "GROUP BY s_nationkey HAVING count(*) > 3"
+    ),
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+              ) AS DOUBLE) AS sum_disc_price,
+          CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "top_suppliers_by_revenue": """
+        WITH r AS (
+          SELECT l_suppkey, CAST(sum(
+            CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+            ) AS DOUBLE) AS revenue
+          FROM lineitem GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, revenue
+        FROM r JOIN supplier ON l_suppkey = s_suppkey
+        ORDER BY revenue DESC, s_suppkey LIMIT 10
+    """,
+    "image_metadata": """
+        SELECT doc_id, 'png' AS format,
+          CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+          CAST(doc_id % 480 + 1 AS BIGINT) AS height,
+          CAST(33 AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+}

@@ -1,0 +1,59 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Packaging (north_rule: ``spark-submit --py-files`` on a multi-executor
+cluster)::
+
+    cd /root/repo && zip -r /tmp/otspark.zip ocr_translate_spark
+    spark-submit --py-files /tmp/otspark.zip scripts/run_pipeline.py \
+        --pages <pages parquet/iceberg path or 'synthetic:N'> \
+        --warehouse /path/to/warehouse --repartition 256
+
+On a real cluster, drop the ``--master local[N]`` the wrapper injects and
+let the cluster manager supply executors; everything else is unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True,
+                    help="pages table path, or synthetic:N for the generated corpus")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--repartition", type=int, default=None)
+    ap.add_argument("--force", action="store_true")
+    ap.add_argument("--cpus", type=int, default=0,
+                    help="local[N] threads when not running under a cluster master")
+    args = ap.parse_args()
+
+    from ocr_translate_spark.corpus import pages_df
+    from ocr_translate_spark.pipeline import run_extraction
+    from ocr_translate_spark.session import get_spark
+
+    spark = get_spark("extract-pipeline", cpus=args.cpus or None)
+    if args.pages.startswith("synthetic:"):
+        n = int(args.pages.split(":", 1)[1])
+        parts = args.repartition or spark.sparkContext.defaultParallelism * 4
+        pages = pages_df(spark, n, partitions=parts)
+    else:
+        pages = spark.read.parquet(args.pages)
+
+    t0 = time.monotonic()
+    stats = run_extraction(
+        spark, pages, args.warehouse,
+        force=args.force, repartition=args.repartition,
+    )
+    wall = time.monotonic() - t0
+    out = {**stats, "wall_sec": round(wall, 3),
+           "docs_per_sec": round(stats["n_written"] / wall, 2) if wall else None}
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,92 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline = the extraction pipeline (synthetic Common-Crawl-style corpus,
+all page classes incl. giant-page skew and PDF payloads, full job incl.
+ledger anti-join + snapshot commit) plus representative operator queries
+at the scale-factor directory.  ``docs_per_sec`` is the BASELINE.json
+throughput metric; scaling evidence across parallelism levels lives in
+scripts/scaling_bench.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+
+BENCH_QUERIES = (
+    "extract_roundtrip",
+    "pricing_summary",
+    "top_suppliers_by_revenue",
+    "minhash_lsh",
+    "simhash",
+    "embedding_topk",
+    "lang_id",
+    "token_counts",
+    "events_windowed",
+    "sessionize",
+)
+
+
+def main() -> int:
+    from ocr_translate_spark.corpus import pages_df
+    from ocr_translate_spark.pipeline import run_extraction
+    from ocr_translate_spark.queries import QUERY_FNS
+    from ocr_translate_spark.session import get_spark
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    spark = get_spark("bench", cpus=CPUS)
+
+    timings: dict[str, float] = {}
+
+    # headline: full extraction job (anti-join -> salted repartition ->
+    # extract -> snapshot commit) over a MATERIALIZED pages table — corpus
+    # generation happens untimed, as in the real read-from-Iceberg scenario
+    wh = tempfile.mkdtemp(prefix="bench_wh_")
+    corpus_dir = tempfile.mkdtemp(prefix="bench_pages_") + "/pages"
+    parts = CPUS * 4
+    pages_df(spark, N_PAGES, partitions=parts).write.parquet(corpus_dir)
+    pages = spark.read.parquet(corpus_dir)
+    t0 = time.monotonic()
+    stats = run_extraction(spark, pages, wh, repartition=parts)
+    extract_sec = time.monotonic() - t0
+    timings["extract_pipeline"] = round(extract_sec, 3)
+    docs_per_sec = round(stats["n_written"] / extract_sec, 2)
+    shutil.rmtree(wh, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(corpus_dir), ignore_errors=True)
+
+    for name in BENCH_QUERIES:
+        fn = QUERY_FNS[name]
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "extraction_pipeline_and_operator_bench",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_per_sec": docs_per_sec,
+        "bench_pages": N_PAGES,
+        "cpus": CPUS,
+        "n_extracted": stats["n_written"],
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

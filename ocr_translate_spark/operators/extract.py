@@ -74,11 +74,24 @@ def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 8) -> Dat
     )
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches(
+    batches: Iterator[pd.DataFrame], dedupe: bool = False
+) -> Iterator[pd.DataFrame]:
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
+    # partition-local dedup (C3): valid because the salted url-hash
+    # repartition co-locates equal urls; costs one hash-set instead of a
+    # second full-payload shuffle (dropDuplicates would reshuffle the html)
+    seen: set | None = set() if dedupe else None
     for pdf in batches:
         t0 = time.monotonic()
+        if seen is not None:
+            mask = ~pdf["url"].isin(seen) & ~pdf["url"].duplicated()
+            seen.update(pdf["url"])
+            if not mask.all():
+                pdf = pdf[mask]
+            if pdf.empty:
+                continue
         out = {
             "url": pdf["url"],
             "lang": pdf["lang"],
@@ -134,9 +147,15 @@ def extract_pages(
     options = options or ExtractOptions()
     src = df.withColumn("input_split", F.input_file_name())
     src = src.select("url", "html", "lang", "input_split")
+    dedupe_in_stage = False
     if repartition:
         src = salted_repartition(src, repartition, salt)
-    staged = src.mapInPandas(_extract_batches, schema=_STAGE_SCHEMA)
+        dedupe_in_stage = True  # equal urls are now co-located
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _extract_batches(batches, dedupe=dedupe_in_stage)
+
+    staged = src.mapInPandas(stage, schema=_STAGE_SCHEMA)
     return (
         staged.withColumn("text_hash", F.xxhash64(F.col("extracted_text")))
         .withColumn("extractor_version", F.lit(EXTRACTOR_VERSION))

@@ -42,6 +42,7 @@ def pending_pages(
     runs: DataFrame,
     options_hash: str,
     force: bool = False,
+    dedupe: bool = True,
 ) -> DataFrame:
     """Pages with no committed run for (extractor_version, options_hash).
 
@@ -49,15 +50,24 @@ def pending_pages(
     probe (ref models/box.py:131: ``filter(**params).first()``); version
     mismatches re-extract, which subsumes the reference's stale-entry
     invalidation (ref box.py:132-137).
+
+    ``dedupe=False`` skips the dropDuplicates shuffle — used when the
+    extraction stage dedupes partition-locally after the salted
+    repartition (one payload shuffle instead of two).
     """
-    deduped = pages.dropDuplicates(["url"])
+    deduped = pages.dropDuplicates(["url"]) if dedupe else pages
     if force:
         return deduped
     done = runs.filter(
         (F.col("extractor_version") == EXTRACTOR_VERSION)
         & (F.col("options_hash") == options_hash)
     ).select("url")
-    return deduped.join(done, "url", "left_anti")
+    # Broadcast the done-keys so the anti-join never shuffles page payloads
+    # (a sort-merge anti-join would move the whole html column twice).  The
+    # ledger is keys-only and dwarfed by the corpus; when it outgrows
+    # broadcast at 10^12 scale, bucket `pages` and `runs` by url-hash in
+    # Iceberg so the anti-join co-locates without any payload shuffle.
+    return deduped.join(F.broadcast(done), "url", "left_anti")
 
 
 def run_extraction(
@@ -80,7 +90,9 @@ def run_extraction(
     run_id = uuid.uuid4().hex[:12]
 
     runs = wh.read(spark, "runs", schema=RUNS)
-    todo = pending_pages(pages, runs, opts_hash, force=force)
+    todo = pending_pages(
+        pages, runs, opts_hash, force=force, dedupe=not repartition
+    )
 
     staged_df = extract_pages(todo, options=options, repartition=repartition)
     data_dir = wh.stage(staged_df, "extracted")

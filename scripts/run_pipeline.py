@@ -37,9 +37,15 @@ def main() -> int:
 
     spark = get_spark("extract-pipeline", cpus=args.cpus or None)
     if args.pages.startswith("synthetic:"):
+        # materialize the corpus untimed, then run the job against the
+        # parquet table — matches the real read-from-warehouse scenario
+        import tempfile
+
         n = int(args.pages.split(":", 1)[1])
         parts = args.repartition or spark.sparkContext.defaultParallelism * 4
-        pages = pages_df(spark, n, partitions=parts)
+        corpus_dir = tempfile.mkdtemp(prefix="pipeline_pages_") + "/pages"
+        pages_df(spark, n, partitions=parts).write.parquet(corpus_dir)
+        pages = spark.read.parquet(corpus_dir)
     else:
         pages = spark.read.parquet(args.pages)
 

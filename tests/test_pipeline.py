@@ -118,6 +118,17 @@ def test_dup_urls_deduped(spark, tmp_path):
     assert stats["n_written"] == 16
 
 
+def test_dup_urls_deduped_in_stage(spark, tmp_path):
+    """C3 fast path: with salted repartition, dedup happens partition-
+    locally inside the Arrow stage (equal urls are co-located)."""
+    root = str(tmp_path / "wh")
+    pages = pages_df(spark, 16, partitions=2)
+    tripled = pages.union(pages).union(pages)
+    stats = run_extraction(spark, tripled, root, repartition=4)
+    assert stats["n_written"] == 16
+    assert read_extracted(spark, root).count() == 16
+
+
 def test_metrics_lineage_rows(spark, pages, tmp_path):
     root = str(tmp_path / "wh")
     run_extraction(spark, pages, root, repartition=4)

@@ -32,7 +32,7 @@ from .operators.extract import (
     finalize_extracted,
     partition_metrics,
 )
-from .schemas import RUNS
+from .schemas import METRICS, RUNS
 
 _LINEAGE_COLS = ("partition_id", "input_split", "wall_ms")
 
@@ -98,9 +98,13 @@ def run_extraction(
     data_dir = wh.stage(staged_df, "extracted")
 
     # derive ledger + lineage from the files actually written (single
-    # compute pass; the read-back is columnar and cheap)
+    # compute pass; the read-back is columnar and cheap).  The metrics
+    # aggregate is tiny (one row per partition): collect it once and reuse
+    # it for both the row count and the metrics table — one action instead
+    # of three over the staged files.
     written = spark.read.parquet(data_dir)
-    n_written = written.count()
+    metrics_rows = partition_metrics(written, run_id).collect()
+    n_written = sum(r["row_count"] for r in metrics_rows)
     if n_written == 0:
         return {
             "run_id": run_id,
@@ -112,7 +116,7 @@ def run_extraction(
     runs_new = written.select(
         "url", "extractor_version", "options_hash", "text_hash"
     ).withColumn("snapshot_id", F.lit(snapshot_id))
-    metrics_new = partition_metrics(written, run_id)
+    metrics_new = spark.createDataFrame(metrics_rows, schema=METRICS)
 
     staged = {
         "extracted": [data_dir],

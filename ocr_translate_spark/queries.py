@@ -471,6 +471,86 @@ def q_extract_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ext.select("url", "extracted_text", "text_hash", "n_blocks", "n_kept")
 
 
+def q_base64_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/F10: base64 payload decode + md5 integrity verification
+    (ref views.py:264-268)."""
+    from .operators.ingest import decode_and_verify
+
+    docs = load(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        F.base64(F.encode(F.col("text"), "UTF-8")).alias("b64"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("claimed_md5"),
+    )
+    out = decode_and_verify(src, "b64", "claimed_md5")
+    return out.select("doc_id", "payload_md5", "md5_ok")
+
+
+def q_lang_code_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: broadcast dimension lookup iso1 -> iso3 with fallback
+    (ref models/base.py:326-330)."""
+    from .operators.ingest import lang_code
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_code(F.col("lang")).alias("model_code"))
+
+
+def q_reading_order_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (SQL-expressible analog): reading-order assembly as
+    Window.orderBy(line, x) + array_join (SURVEY.md §2.4).  A 3x3 grid of
+    each document's first 9 words is scattered, then reassembled in
+    reading order — the result must equal the original prefix."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+", -1), lambda x: x != F.lit(""))
+    cells = docs.select(
+        "doc_id",
+        F.posexplode(F.slice(words, 1, 9)).alias("pos", "word"),
+    ).select(
+        "doc_id", "word",
+        (F.col("pos") / 3).cast("int").alias("line"),
+        (F.col("pos") % 3).alias("x"),
+    )
+    # scatter: feed rows in an arbitrary order, reassemble by geometry
+    assembled = (
+        cells.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line", "x", "word"))
+                    ),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("reading_order")
+        )
+    )
+    return assembled
+
+
+def q_restore_spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: trie-based missing-space repair via broadcast trie + Arrow UDF
+    (ref models/tsl.py:156-174) — rows-only (DP scoring not in SQL).
+    Dictionary = the corpus vocabulary; input plants a concatenation of
+    each doc's first two words."""
+    from .operators.normalize import build_trie_from_dictionary, pre_tokenize_udf
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+", -1), lambda x: x != F.lit(""))
+    vocab = (
+        docs.select(F.explode(words).alias("word"))
+        .groupBy("word").agg(F.count("*").cast("double").alias("freq"))
+        .withColumn("lang", F.lit("en"))
+    )
+    trie = build_trie_from_dictionary(vocab)
+    planted = docs.select(
+        "doc_id",
+        F.concat(words[0], words[1]).alias("text"),
+    )
+    out = pre_tokenize_udf(planted, "text", {"restore_missing_spaces": True}, trie)
+    return out.select("doc_id", F.col("tokens")[0].alias("repaired"))
+
+
 QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_roundtrip": q_extract_roundtrip,
     "extract_stats": q_extract_stats,
@@ -504,6 +584,10 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
     "image_metadata": q_image_metadata,
+    "base64_ingest": q_base64_ingest,
+    "lang_code_map": q_lang_code_map,
+    "reading_order_sql": q_reading_order_sql,
+    "restore_spaces": q_restore_spaces,
 }
 
 
@@ -723,5 +807,24 @@ ORACLE_SQL: dict[str, str] = {
           CAST(doc_id % 480 + 1 AS BIGINT) AS height,
           CAST(33 AS BIGINT) AS n_bytes
         FROM documents
+    """,
+    "base64_ingest": (
+        "SELECT doc_id, md5(text) AS payload_md5, true AS md5_ok FROM documents"
+    ),
+    "lang_code_map": """
+        SELECT doc_id, lang, CASE lang
+          WHEN 'en' THEN 'eng' WHEN 'de' THEN 'deu' WHEN 'fr' THEN 'fra'
+          WHEN 'es' THEN 'spa' WHEN 'ja' THEN 'jpn' WHEN 'zh' THEN 'zho'
+          WHEN 'ko' THEN 'kor' WHEN 'lo' THEN 'lao' WHEN 'my' THEN 'mya'
+          ELSE lang END AS model_code
+        FROM documents
+    """,
+    "reading_order_sql": r"""
+        WITH w AS (SELECT doc_id, list_filter(
+            string_split_regex(text, '\s+'), x -> x <> '') AS words
+          FROM documents)
+        SELECT doc_id,
+          array_to_string(words[1:least(len(words), 9)], ' ') AS reading_order
+        FROM w
     """,
 }

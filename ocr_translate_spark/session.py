@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # shuffle/spill on tmpfs: this box's /tmp is a single disk, which
+        # serializes shuffle writes across 32 threads; a real cluster gets
+        # per-executor local SSDs instead (set SPARK_GRAFT_LOCAL_DIR)
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -29,6 +29,10 @@ def main() -> int:
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--cpus", type=int, default=0,
                     help="local[N] threads when not running under a cluster master")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run a small untimed job first (JIT/python-worker warmup)")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="timed repetitions (fresh warehouse each); report the best")
     args = ap.parse_args()
 
     from ocr_translate_spark.corpus import pages_df
@@ -49,12 +53,34 @@ def main() -> int:
     else:
         pages = spark.read.parquet(args.pages)
 
-    t0 = time.monotonic()
-    stats = run_extraction(
-        spark, pages, args.warehouse,
-        force=args.force, repartition=args.repartition,
-    )
-    wall = time.monotonic() - t0
+    import tempfile as _tf
+
+    if args.warmup:
+        # big enough to JIT the whole path and spawn every python worker
+        warm_wh = _tf.mkdtemp(prefix="warmup_wh_")
+        run_extraction(
+            spark, pages_df(spark, 8192, partitions=args.repartition or 32),
+            warm_wh, repartition=args.repartition,
+        )
+
+    best = None
+    if args.repeat > 1:
+        import os as _os
+
+        _os.makedirs(args.warehouse, exist_ok=True)
+    for rep in range(max(args.repeat, 1)):
+        wh = args.warehouse if args.repeat == 1 else _tf.mkdtemp(
+            prefix=f"rep{rep}_", dir=args.warehouse
+        )
+        t0 = time.monotonic()
+        stats = run_extraction(
+            spark, pages, wh,
+            force=args.force, repartition=args.repartition,
+        )
+        wall = time.monotonic() - t0
+        if best is None or wall < best[0]:
+            best = (wall, stats)
+    wall, stats = best
     out = {**stats, "wall_sec": round(wall, 3),
            "docs_per_sec": round(stats["n_written"] / wall, 2) if wall else None}
     print(json.dumps(out))

@@ -49,6 +49,8 @@ MIN_CONTENT_CHARS = 25
 
 _TAG_NAME_RE = re.compile(rb"[a-zA-Z][a-zA-Z0-9:-]*")
 _WS_COLLAPSE_RE = re.compile(r"[ \t\r\f\v]+")
+# bytes tag -> lowered str name, shared across documents (tag vocab is tiny)
+_TAG_NAME_CACHE: dict[bytes, str] = {}
 
 
 @dataclass
@@ -109,64 +111,90 @@ def _classify(block: Block) -> tuple[bool, float]:
 def _finalize_text(parts: list[str]) -> str:
     """Collapse whitespace, then decode entities (see module docstring)."""
     raw = "".join(parts)
-    collapsed = _WS_COLLAPSE_RE.sub(" ", raw)
-    lines = [ln.strip(" ") for ln in collapsed.split("\n")]
-    out = "\n".join(lines).strip("\n")
-    return _htmlmod.unescape(out)
+    # fast path: nothing to collapse (the overwhelmingly common case)
+    if "  " in raw or "\t" in raw or "\r" in raw or "\f" in raw or "\v" in raw:
+        collapsed = _WS_COLLAPSE_RE.sub(" ", raw)
+    else:
+        collapsed = raw
+    if "\n" in collapsed:
+        out = "\n".join(ln.strip(" ") for ln in collapsed.split("\n")).strip("\n")
+    else:
+        out = collapsed.strip(" ")
+    # unescape is regex-driven and hot; skip when no entity can exist
+    return _htmlmod.unescape(out) if "&" in out else out
 
 
 class _Tokenizer:
     """Single-pass incremental tokenizer over one HTML byte buffer."""
 
-    __slots__ = ("buf", "pos", "n")
+    __slots__ = ("buf", "pos", "n", "_lower")
 
     def __init__(self, buf: bytes):
         self.buf = buf
         self.pos = 0
         self.n = len(buf)
+        self._lower: bytes | None = None  # lazily lowered once, reused
+
+    def _lowered(self) -> bytes:
+        if self._lower is None:
+            self._lower = self.buf.lower()
+        return self._lower
 
     def tokens(self):
         """Yield ('text', str) | ('open', name, selfclosing) | ('close', name)."""
         buf, n = self.buf, self.n
-        while self.pos < n:
-            lt = buf.find(b"<", self.pos)
+        names = _TAG_NAME_CACHE
+        pos = self.pos
+        while pos < n:
+            lt = buf.find(b"<", pos)
             if lt < 0:
-                yield ("text", buf[self.pos:].decode("utf-8", "replace"))
+                yield ("text", buf[pos:].decode("utf-8", "replace"))
                 break
-            if lt > self.pos:
-                yield ("text", buf[self.pos: lt].decode("utf-8", "replace"))
-            self.pos = lt
-            if buf.startswith(b"<!--", lt):
-                end = buf.find(b"-->", lt + 4)
-                self.pos = n if end < 0 else end + 3
+            if lt > pos:
+                yield ("text", buf[pos: lt].decode("utf-8", "replace"))
+            c = buf[lt + 1] if lt + 1 < n else 0
+            if c == 0x21:  # '!': comment or doctype
+                if buf.startswith(b"<!--", lt):
+                    end = buf.find(b"-->", lt + 4)
+                    pos = n if end < 0 else end + 3
+                else:
+                    end = buf.find(b">", lt)
+                    pos = n if end < 0 else end + 1
                 continue
-            if buf.startswith(b"<!", lt) or buf.startswith(b"<?", lt):
+            if c == 0x3F:  # '?': processing instruction
                 end = buf.find(b">", lt)
-                self.pos = n if end < 0 else end + 1
+                pos = n if end < 0 else end + 1
                 continue
-            closing = buf.startswith(b"</", lt)
+            closing = c == 0x2F  # '/'
             m = _TAG_NAME_RE.match(buf, lt + (2 if closing else 1))
             if not m:
                 # stray '<' — emit it as text
                 yield ("text", "<")
-                self.pos = lt + 1
+                pos = lt + 1
                 continue
-            name = m.group(0).decode("ascii").lower()
+            raw = m.group(0)
+            name = names.get(raw)
+            if name is None:
+                name = raw.decode("ascii").lower()
+                if len(names) < 4096:
+                    names[raw] = name
             end = buf.find(b">", m.end())
             if end < 0:
-                self.pos = n
+                pos = n
                 break
-            selfclosing = buf[end - 1: end] == b"/"
-            self.pos = end + 1
+            pos = end + 1
             if closing:
                 yield ("close", name)
             else:
+                selfclosing = buf[end - 1] == 0x2F
                 yield ("open", name, selfclosing)
                 if name in SKIP_CONTENT_TAGS and not selfclosing:
+                    self.pos = pos
                     close_pat = b"</" + name.encode() + b">"
-                    idx = buf.lower().find(close_pat, self.pos)
-                    self.pos = n if idx < 0 else idx + len(close_pat)
+                    idx = self._lowered().find(close_pat, pos)
+                    pos = n if idx < 0 else idx + len(close_pat)
                     yield ("close", name)
+        self.pos = pos
 
 
 def extract_html(data: bytes) -> ExtractResult:

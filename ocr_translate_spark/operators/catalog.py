@@ -73,6 +73,28 @@ def override_coalesce(
     ).drop("_ov")
 
 
+def languages_df(spark) -> DataFrame:
+    """S6: the language dimension table (ref models/base.py:72-89,
+    ocr_tsl/languages.json; nospace/vertical flags per models/ocr.py:40-41).
+
+    Tiny dimension — always broadcast when joined against a corpus."""
+    from ..kernels.merge import NO_SPACE_LANGUAGES, VERTICAL_LANGS
+    from .ingest import DEFAULT_ISO1_MAP
+
+    names = {
+        "en": "English", "de": "German", "fr": "French", "es": "Spanish",
+        "ja": "Japanese", "zh": "Chinese", "ko": "Korean", "lo": "Lao",
+        "my": "Burmese",
+    }
+    rows = [
+        (names[iso1], iso1, iso3, iso1 in NO_SPACE_LANGUAGES, iso1 in VERTICAL_LANGS)
+        for iso1, iso3 in DEFAULT_ISO1_MAP.items()
+    ]
+    return spark.createDataFrame(
+        rows, "name string, iso1 string, iso3 string, nospace boolean, vertical boolean"
+    )
+
+
 def sessionize(
     events: DataFrame, user: str, ts: str, gap_minutes: int = 30
 ) -> DataFrame:

@@ -169,7 +169,10 @@ def main() -> int:
     print(json.dumps(result))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w", encoding="utf-8") as fh:
+    # always record this run; BASELINE.md itself is curated by hand from
+    # the measurement history (the host's noise makes single runs
+    # unrepresentative), so write the machine-generated report next to it
+    with open(os.path.join(REPO, "BENCH", "last_run.md"), "w", encoding="utf-8") as fh:
         fh.write(f"""# BENCH/BASELINE — scaling evidence
 
 Protocol (BASELINE.md): identical extraction job, identical input

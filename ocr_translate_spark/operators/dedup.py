@@ -19,7 +19,31 @@ cluster sizes, no Python in the hot path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mix (public-domain splitmix64 constants) used
+    to derive the universal-hash family parameters from the seed index."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def _flatten_long_arrays(col: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 values, per-row lengths) from a Series of int64 arrays."""
+    arrs = col.to_numpy()
+    lens = np.fromiter(
+        (0 if a is None else len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+    )
+    if lens.sum() == 0:
+        return np.empty(0, dtype=np.uint64), lens
+    flat = np.concatenate([a for a in arrs if a is not None and len(a)])
+    return flat.astype(np.int64).view(np.uint64), lens
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -49,15 +73,19 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda x: x != F.lit("")
-    )
+def _shingle_array(text_col, n: int):
+    """Column expr: distinct word n-gram shingles of a text column."""
+    words = F.filter(F.split(F.lower(text_col), r"\s+", -1), lambda x: x != F.lit(""))
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+    return F.array_distinct(grams)
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingle_array(F.col(text_col), n)).alias("shingle"),
     )
 
 
@@ -103,18 +131,43 @@ def jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
-    """(id, sig array<long>): MinHash signature via k seeded xxhash64 passes.
+    """(id, sig array<long>): MinHash signature, zero-shuffle.
 
-    One shuffle (groupBy id); hash evaluation is JVM-side over the exploded
-    shingles.  Deterministic: seed s is mixed in as a literal column.
+    Two-step split that keeps both halves vectorized: (1) JVM-side, ONE
+    ``xxhash64`` per distinct shingle via an array ``transform`` (strings
+    never reach Python); (2) an Arrow pandas UDF expands each 64-bit base
+    hash into k hashes with a multiply-shift universal family
+    (``a_s * h + b_s mod 2^64``, odd ``a_s`` from splitmix64) and takes
+    per-row minima with ``np.minimum.reduceat`` — whole batches, no
+    per-row Python.  The shingle set never leaves the row: at 100 TB this
+    stage is a narrow map over the scan with no explode/groupBy exchange.
     """
-    sh = word_shingles(df, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"h{s}")
-        for s in range(num_hashes)
-    ]
-    agg = sh.groupBy("id").agg(*mins)
-    return agg.select("id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig"))
+    a_params = np.array(
+        [(_splitmix64(2 * s) | 1) for s in range(num_hashes)], dtype=np.uint64
+    )
+    b_params = np.array(
+        [_splitmix64(2 * s + 1) for s in range(num_hashes)], dtype=np.uint64
+    )
+    max_long = (1 << 63) - 1
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_from_base(base: pd.Series) -> pd.Series:
+        flat, lens = _flatten_long_arrays(base)
+        nrows = len(lens)
+        out = np.full((nrows, num_hashes), max_long, dtype=np.int64)
+        nz = lens > 0
+        if flat.size:
+            starts = np.zeros(nrows, dtype=np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+            starts_nz = starts[nz]
+            with np.errstate(over="ignore"):
+                for s in range(num_hashes):
+                    v = flat * a_params[s] + b_params[s]  # uint64 wraparound
+                    out[nz, s] = np.minimum.reduceat(v, starts_nz).view(np.int64)
+        return pd.Series(list(out))
+
+    base = F.transform(_shingle_array(F.col(text_col), n), lambda x: F.xxhash64(x))
+    return df.select(F.col(id_col).alias("id"), minhash_from_base(base).alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -183,30 +236,43 @@ def minhash_lsh_candidates(
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash long): 64-bit SimHash over whitespace tokens.
+    """(id, simhash long): 63-bit SimHash over whitespace tokens (bit 63 =
+    long sign bit, skipped to stay ANSI-safe).
 
-    Implemented as 64 bit-position majority votes computed JVM-side:
-    explode tokens -> per-token xxhash64 -> per-bit +/-1 contributions via
-    bit arithmetic -> sum -> sign.  One shuffle (groupBy id).
+    **Zero-shuffle**, same split as MinHash: JVM-side one ``xxhash64``
+    per token (array ``transform``), then an Arrow pandas UDF does the
+    bit-position majority vote with numpy — per-batch bit matrix,
+    ``np.add.reduceat`` per row, sign collapse to the signature.  No
+    explode, no groupBy: at 100 TB this is a narrow map over the scan.
+    Votes are identical to an exploded groupBy formulation.
     """
+    bit_idx = np.arange(63, dtype=np.uint64)
+
+    @F.pandas_udf(LongType())
+    def simhash_from_base(base: pd.Series) -> pd.Series:
+        flat, lens = _flatten_long_arrays(base)
+        nrows = len(lens)
+        out = np.zeros(nrows, dtype=np.int64)
+        nz = lens > 0
+        if flat.size:
+            starts = np.zeros(nrows, dtype=np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+            # +/-1 contribution per (token, bit); int32 sums are safe for
+            # any realistic tokens-per-doc
+            bits = ((flat[:, None] >> bit_idx) & np.uint64(1)).astype(np.int32)
+            contrib = bits * 2 - 1
+            counts = np.add.reduceat(contrib, starts[nz], axis=0)
+            sig = ((counts > 0).astype(np.uint64) << bit_idx).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[nz] = sig.view(np.int64)
+        return pd.Series(out)
+
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda x: x != F.lit("")
     )
-    toks = df.select(F.col(id_col).alias("id"), F.explode(words).alias("tok"))
-    toks = toks.withColumn("h", F.xxhash64("tok"))
-    # per-bit contribution: +1 when bit set else -1
-    bit_sums = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(63)  # bit 63 = sign bit of long; skip to stay ANSI-safe
-    ]
-    agg = toks.groupBy("id").agg(*bit_sums)
-    sig = None
-    for b in range(63):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    return agg.select("id", sig.alias("simhash"))
+    base = F.transform(words, lambda x: F.xxhash64(x))
+    return df.select(F.col(id_col).alias("id"), simhash_from_base(base).alias("simhash"))
 
 
 def simhash_near_dups(

@@ -37,8 +37,18 @@ from .operators.normalize import restore_dash_newlines_col
 from .streaming.events import windowed_counts
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+def load(
+    spark: SparkSession, sf_dir: str, table: str, *, parallel: bool = False
+) -> DataFrame:
+    """Read a driver table.  ``parallel=True`` fans a small single-file
+    table out to all cores before CPU-heavy kernels (signatures, vector
+    math) — at warehouse scale the scan's own input splits provide this
+    for free, but the sf* fixtures are one row-group each, which would
+    otherwise pin the whole query to one task."""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if parallel:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # ---------------------------------------------------------------------
@@ -216,7 +226,7 @@ def q_common_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doubled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ (documents with shifted ids) — a corpus with known dups."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
     return docs.union(docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
 
 
@@ -229,7 +239,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dups over planted exact+near duplicates."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
     mutated = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.regexp_replace(F.col("text"), r"^([^ ]*) ", "changedword ").alias("text"),
@@ -260,7 +270,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 10 vectors (exact baseline)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < 10)
     out = similarity.brute_force_topk(emb, queries, k=5)
     return out.select(
@@ -270,7 +280,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs over planted near-identical vectors."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load(spark, sf_dir, "embeddings", parallel=True).select("vec_id", "embedding")
     sims = similarity.with_norm(emb)
     left = sims.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), F.col("_norm").alias("_na"))
     right = sims.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"), F.col("_norm").alias("_nb"))
@@ -289,7 +299,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN — rows-only (numpy hyperplanes not in SQL)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_topk(emb, queries, k=5, n_planes=6)
 

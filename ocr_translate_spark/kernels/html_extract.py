@@ -87,11 +87,17 @@ class ExtractResult:
     scores: list[float] = field(default_factory=list)
 
 
-def _classify(block: Block) -> tuple[bool, float]:
+def _classify(
+    block: Block,
+    max_link_density: float = MAX_LINK_DENSITY_DEFAULT,
+    min_content_chars: int = MIN_CONTENT_CHARS,
+) -> tuple[bool, float]:
     """(keep?, score) for a finalized block.
 
     Score is a smooth content-ness signal in [0, 1]-ish used for lineage /
-    debugging; the keep decision is the hard classifier.
+    debugging; the keep decision is the hard classifier.  Thresholds come
+    from ExtractOptions (the analog of the reference's per-run OptionDict,
+    ref models/base.py:49-54) and default to the golden-locked constants.
     """
     if not block.text:
         return False, 0.0
@@ -103,8 +109,8 @@ def _classify(block: Block) -> tuple[bool, float]:
         return ld <= MAX_LINK_DENSITY_POSITIVE, score
     if block.is_heading:
         # headings outside article containers: keep only long ones
-        return ld == 0.0 and block.chars >= MIN_CONTENT_CHARS, score
-    keep = ld <= MAX_LINK_DENSITY_DEFAULT and block.chars >= MIN_CONTENT_CHARS
+        return ld == 0.0 and block.chars >= min_content_chars, score
+    keep = ld <= max_link_density and block.chars >= min_content_chars
     return keep, score
 
 
@@ -197,7 +203,11 @@ class _Tokenizer:
         self.pos = pos
 
 
-def extract_html(data: bytes) -> ExtractResult:
+def extract_html(
+    data: bytes,
+    max_link_density: float = MAX_LINK_DENSITY_DEFAULT,
+    min_content_chars: int = MIN_CONTENT_CHARS,
+) -> ExtractResult:
     """Extract main-content text + block spans from one HTML byte buffer."""
     blocks: list[Block] = []
     parts: list[str] = []
@@ -293,7 +303,7 @@ def extract_html(data: bytes) -> ExtractResult:
     offset = 0
     n_kept = 0
     for blk in blocks:
-        keep, score = _classify(blk)
+        keep, score = _classify(blk, max_link_density, min_content_chars)
         if keep:
             if kept_texts:
                 offset += 1  # the '\n' joiner

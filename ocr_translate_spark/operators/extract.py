@@ -46,6 +46,12 @@ class ExtractOptions:
     max_link_density: float = 0.33
     min_content_chars: int = 25
     keep_title: bool = True
+    # X4 run-mode switch (ref models/ocr.py:42-50 ocr_mode single|merged):
+    # 'merged' = one span per kept DOM block; 'single' = one span per text
+    # run (line) inside each kept block.  Joining single runs with the
+    # block/line separators reproduces the merged text exactly (A5
+    # assembly invariant, tested).
+    granularity: str = "merged"
     extras: dict = field(default_factory=dict)
 
     def options_hash(self) -> str:
@@ -74,9 +80,31 @@ def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 8) -> Dat
     )
 
 
+def _single_spans(
+    text: str, starts: list[int], ends: list[int]
+) -> tuple[list[int], list[int]]:
+    """X4 'single' granularity: subdivide each block span at newline
+    boundaries so each span is one text run (the analog of single BBoxes
+    inside a merged BBox, ref models/box.py:32-59)."""
+    s2: list[int] = []
+    e2: list[int] = []
+    for s, e in zip(starts, ends):
+        pos = s
+        for run in text[s:e].split("\n"):
+            if run:
+                s2.append(pos)
+                e2.append(pos + len(run))
+            pos += len(run) + 1
+    return s2, e2
+
+
 def _extract_batches(
-    batches: Iterator[pd.DataFrame], dedupe: bool = False
+    batches: Iterator[pd.DataFrame],
+    dedupe: bool = False,
+    options: "ExtractOptions | None" = None,
 ) -> Iterator[pd.DataFrame]:
+    opts = options or ExtractOptions()
+    single = opts.granularity == "single"
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
     # partition-local dedup (C3): valid because the salted url-hash
@@ -111,22 +139,31 @@ def _extract_batches(
             raw = bytes(data) if data is not None else b""
             if is_pdf(raw):
                 text, spans, n_objs = extract_pdf(raw)
+                starts = [s for s, _ in spans]
+                ends = [e for _, e in spans]
                 out["extracted_text"].append(text)
-                out["span_starts"].append([s for s, _ in spans])
-                out["span_ends"].append([e for _, e in spans])
                 out["n_blocks"].append(n_objs)
                 out["n_kept"].append(n_objs)
                 out["title"].append("")
                 out["payload_kind"].append("pdf")
             else:
-                res = extract_html(raw)
-                out["extracted_text"].append(res.text)
-                out["span_starts"].append([s for s, _ in res.spans])
-                out["span_ends"].append([e for _, e in res.spans])
+                res = extract_html(
+                    raw,
+                    max_link_density=opts.max_link_density,
+                    min_content_chars=opts.min_content_chars,
+                )
+                text = res.text
+                starts = [s for s, _ in res.spans]
+                ends = [e for _, e in res.spans]
+                out["extracted_text"].append(text)
                 out["n_blocks"].append(res.n_blocks)
                 out["n_kept"].append(res.n_kept)
-                out["title"].append(res.title)
+                out["title"].append(res.title if opts.keep_title else "")
                 out["payload_kind"].append("html")
+            if single:
+                starts, ends = _single_spans(text, starts, ends)
+            out["span_starts"].append(starts)
+            out["span_ends"].append(ends)
             out["bytes_in"].append(len(raw))
         wall = (time.monotonic() - t0) * 1000.0
         result = pd.DataFrame(out)
@@ -159,7 +196,7 @@ def extract_pages(
         dedupe_in_stage = True  # equal urls are now co-located
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _extract_batches(batches, dedupe=dedupe_in_stage)
+        return _extract_batches(batches, dedupe=dedupe_in_stage, options=options)
 
     staged = src.mapInPandas(stage, schema=_STAGE_SCHEMA)
     spans = F.arrays_zip(

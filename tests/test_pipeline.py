@@ -189,3 +189,51 @@ def test_corpus_determinism_local_vs_spark(spark):
     for url in local.index:
         assert local.loc[url, "text"] == dist.loc[url, "text"]
         assert bytes(local.loc[url, "html"]) == bytes(dist.loc[url, "html"])
+
+
+def test_x4_single_granularity_assembly_invariant(spark, pages, tmp_path):
+    """X4 (ref models/ocr.py:42-50): 'single' emits one span per text run;
+    reassembling the runs reproduces the merged-mode text and spans."""
+    from ocr_translate_spark.operators.extract import extract_pages
+
+    merged = {
+        r["url"]: r
+        for r in extract_pages(pages, ExtractOptions(granularity="merged"))
+        .select("url", "extracted_text", "spans").collect()
+    }
+    single = extract_pages(pages, ExtractOptions(granularity="single"))
+    for r in single.select("url", "extracted_text", "spans").collect():
+        m = merged[r["url"]]
+        # the text itself is granularity-independent
+        assert r["extracted_text"] == m["extracted_text"]
+        text = r["extracted_text"]
+        runs_ = [text[s["start"]:s["end"]] for s in r["spans"]]
+        # no run crosses a line boundary, none is empty
+        assert all("\n" not in t and t for t in runs_)
+        # every merged block is exactly its single runs joined with '\n'
+        for ms in m["spans"]:
+            block = text[ms["start"]:ms["end"]]
+            inner = [
+                text[s["start"]:s["end"]] for s in r["spans"]
+                if ms["start"] <= s["start"] and s["end"] <= ms["end"]
+            ]
+            assert "\n".join(inner) == block or block.replace("\n", "") == "".join(inner)
+
+
+def test_options_thresholds_reach_kernel():
+    """ExtractOptions thresholds actually change the keep decision."""
+    from ocr_translate_spark.kernels.html_extract import extract_html
+
+    html = b"<html><body><p>short but real text</p></body></html>"
+    strict = extract_html(html, min_content_chars=25)
+    loose = extract_html(html, min_content_chars=5)
+    assert strict.n_kept == 0
+    assert loose.n_kept == 1 and loose.text == "short but real text"
+
+    linky = (
+        b"<html><body><p>words words words words words words "
+        b'<a href="/x">a link that is about half of this block text</a></p>'
+        b"</body></html>"
+    )
+    assert extract_html(linky, max_link_density=0.9).n_kept == 1
+    assert extract_html(linky, max_link_density=0.1).n_kept == 0

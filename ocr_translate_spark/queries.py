@@ -308,6 +308,35 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # catalog / relational (A1-A3, J5/J6, P5, U1, O1-O2)
 # ---------------------------------------------------------------------
 
+def q_manual_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: manual-override priority — broadcast left join + coalesce
+    (ref models/tsl.py:269-271 favor_manual).  Every 10th doc carries a
+    manual text that must win over the computed value."""
+    from .operators.catalog import override_coalesce
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    overrides = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.concat(F.lit("MANUAL:"), F.col("doc_id")).alias("text_ov")
+    )
+    out = override_coalesce(docs, overrides, "doc_id", "text", "text_ov")
+    return out.select(
+        "doc_id",
+        F.col("text").alias("final_text"),
+        (F.col("doc_id") % 10 == 0).alias("is_manual"),
+    )
+
+
+def q_lazy_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/P2: cache-only read — semi-join of requested ids against the
+    committed set (ref ocr_tsl/full.py:28-74 lazy pipeline)."""
+    from .operators.catalog import semi_lazy
+
+    docs = load(spark, sf_dir, "documents")
+    requested = docs.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    committed = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    return semi_lazy(requested, committed, "doc_id")
+
+
 def q_ranked_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/O1: popularity ranking (ref cached_lists.py:48-64)."""
     docs = load(spark, sf_dir, "documents")
@@ -582,6 +611,8 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "manual_override": q_manual_override,
+    "lazy_semi": q_lazy_semi,
     "ranked_sources": q_ranked_sources,
     "most_used_event_type": q_most_used_event_type,
     "last_event_per_user": q_last_event_per_user,
@@ -737,6 +768,15 @@ ORACLE_SQL: dict[str, str] = {
         WHERE list_sum(list_transform(range(1, len(a.v)+1),
                  i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.5
     """,
+    "manual_override": (
+        "SELECT doc_id, "
+        "CASE WHEN doc_id % 10 = 0 THEN 'MANUAL:' || doc_id ELSE text END "
+        "AS final_text, doc_id % 10 = 0 AS is_manual FROM documents"
+    ),
+    "lazy_semi": (
+        "SELECT doc_id, text FROM documents "
+        "WHERE doc_id < 200 AND doc_id % 2 = 0"
+    ),
     "ranked_sources": (
         "SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents "
         "GROUP BY source ORDER BY n DESC, source"

@@ -196,9 +196,11 @@ def minhash_lsh_candidates(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(F.concat_ws(",", *[
-                        F.col("sig")[b * r + i].cast("string") for i in range(r)
-                    ])).alias("bucket"),
+                    # hash the r signature slots directly (typed longs, no
+                    # string casts); band index b is part of the hash input
+                    F.xxhash64(
+                        F.lit(b), *[F.col("sig")[b * r + i] for i in range(r)]
+                    ).alias("bucket"),
                 )
                 for b in range(bands)
             ])

@@ -78,6 +78,7 @@ def main() -> int:
 
     for name in BENCH_QUERIES:
         fn = QUERY_FNS[name]
+        fn(spark, SF_DIR).count()  # untimed warmup (plan/JIT/broadcast)
         t0 = time.monotonic()
         df = fn(spark, SF_DIR)
         n = df.count()

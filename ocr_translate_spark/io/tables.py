@@ -44,6 +44,106 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def open_warehouse(spark: SparkSession, root: str):
+    """Warehouse factory: the real Iceberg catalog when the runtime has one
+    configured (cluster deployments), the parquet+manifest emulation with
+    the same contract otherwise (this container ships no Iceberg jars).
+    Callers (pipeline.run_extraction) are branch-agnostic."""
+    if iceberg_available(spark):
+        return IcebergWarehouse(spark, root)
+    return Warehouse(root)
+
+
+class IcebergWarehouse:
+    """Iceberg-catalog-backed warehouse with the same interface as
+    :class:`Warehouse` (stage / read_staged / commit / write / read).
+
+    * ``stage`` writes to an uncommitted staging table
+      ``<ns>.<table>__stage_<uuid>`` via ``writeTo(...).create()`` — data
+      lands in the catalog but is invisible to readers of the final table.
+    * ``commit`` appends every staged table into its final table with
+      ``writeTo(...).append()`` (an atomic Iceberg snapshot per table) and
+      drops the staging tables.  Iceberg has no cross-table transactions,
+      so multi-table consistency comes from COMMIT ORDER: data tables
+      first, the ``runs`` memo ledger LAST — a crash in between leaves
+      extracted rows with no ledger entry, the re-run re-extracts those
+      urls, and ``read_extracted(latest_only=True)`` collapses the
+      duplicates read-side.  Resume therefore stays idempotent, matching
+      the parquet emulation's guarantee.
+    * ``read(..., snapshot_id=...)`` time-travels via ``VERSION AS OF``.
+
+    Exercised only when an Iceberg catalog is configured (tests skip
+    otherwise); the emulation covers the contract in this container.
+    """
+
+    LEDGER_LAST = ("runs",)
+
+    def __init__(self, spark: SparkSession, namespace: str):
+        self.spark = spark
+        # accept a path-like root and sanitize it into a namespace name
+        ns = namespace.strip("/").replace("/", "_").replace("-", "_") or "warehouse"
+        self.namespace = ns
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {ns}")
+
+    def _full(self, table: str) -> str:
+        return f"{self.namespace}.{table}"
+
+    # -- write ---------------------------------------------------------
+
+    def stage(self, df: DataFrame, table: str) -> str:
+        handle = self._full(f"{table}__stage_{uuid.uuid4().hex[:12]}")
+        df.writeTo(handle).create()
+        return handle
+
+    def read_staged(self, spark: SparkSession, handle: str) -> DataFrame:
+        return spark.table(handle)
+
+    def commit(self, staged: dict[str, list[str]]) -> int:
+        ordered = sorted(staged.items(), key=lambda kv: kv[0] in self.LEDGER_LAST)
+        for table, handles in ordered:
+            full = self._full(table)
+            for handle in handles:
+                df = self.spark.table(handle)
+                if self.spark.catalog.tableExists(full):
+                    df.writeTo(full).append()
+                else:
+                    df.writeTo(full).create()
+                self.spark.sql(f"DROP TABLE IF EXISTS {handle}")
+        return self.current_snapshot_id()
+
+    def write(self, df: DataFrame, table: str) -> int:
+        return self.commit({table: [self.stage(df, table)]})
+
+    # -- read ------------------------------------------------------------
+
+    def current_snapshot_id(self) -> int:
+        """Snapshot id of the runs ledger (the commit-order anchor)."""
+        full = self._full("runs")
+        if not self.spark.catalog.tableExists(full):
+            return 0
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {full}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).first()
+        return int(row["snapshot_id"]) if row else 0
+
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        schema=None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        full = self._full(table)
+        if not spark.catalog.tableExists(full):
+            if schema is None:
+                raise ValueError(f"table {table!r} is empty and no schema given")
+            return spark.createDataFrame([], schema=schema)
+        if snapshot_id is not None:
+            return spark.read.option("snapshot-id", snapshot_id).table(full)
+        return spark.table(full)
+
+
 class Warehouse:
     """Multi-table snapshot store rooted at a local/posix path."""
 
@@ -84,6 +184,10 @@ class Warehouse:
         commit_dir = os.path.join(self.root, table, f"commit-{uuid.uuid4().hex[:12]}")
         df.write.mode("errorifexists").parquet(commit_dir)
         return commit_dir
+
+    def read_staged(self, spark: SparkSession, handle: str) -> DataFrame:
+        """Read back a staged-but-uncommitted handle (columnar, cheap)."""
+        return spark.read.parquet(handle)
 
     def commit(self, staged: dict[str, list[str]]) -> int:
         """Atomically publish staged directories for one or more tables.

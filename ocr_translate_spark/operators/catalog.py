@@ -55,6 +55,28 @@ def anti_sync(db_names: DataFrame, ep_names: DataFrame, key: str) -> DataFrame:
     return db_names.select(key).join(ep_names.select(key), key, "left_anti")
 
 
+def lang_pair_sync(
+    models: DataFrame,
+    src: str,
+    dst: str,
+    src_col: str = "supported",
+    dst_col: str | None = None,
+) -> DataFrame:
+    """Catalog referential-consistency sync: flag installed models that do
+    (not) support a newly selected language pair (ref views.py:146-163 —
+    models are unloaded when the new pair leaves their src/dst sets;
+    ref base.py:374-383 filters models by M2M language membership).
+
+    ``keep`` = the model's supported-language arrays contain both ends of
+    the pair; the ``keep=false`` rows are the unload set.  Pure column
+    expressions over a (tiny, broadcastable) models dimension."""
+    dst_col = dst_col or src_col
+    keep = F.array_contains(F.col(src_col), src) & F.array_contains(
+        F.col(dst_col), dst
+    )
+    return models.withColumn("keep", keep)
+
+
 def semi_lazy(requested: DataFrame, committed: DataFrame, key: str) -> DataFrame:
     """S3: cache-only read — semi-join of requested items against committed
     results (ref ocr_tsl/full.py:28-74 lazy pipeline)."""

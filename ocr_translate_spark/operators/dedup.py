@@ -148,13 +148,12 @@ def minhash_signatures(
     b_params = np.array(
         [_splitmix64(2 * s + 1) for s in range(num_hashes)], dtype=np.uint64
     )
-    max_long = (1 << 63) - 1
 
     @F.pandas_udf(ArrayType(LongType()))
     def minhash_from_base(base: pd.Series) -> pd.Series:
         flat, lens = _flatten_long_arrays(base)
         nrows = len(lens)
-        out = np.full((nrows, num_hashes), max_long, dtype=np.int64)
+        out = np.zeros((nrows, num_hashes), dtype=np.int64)
         nz = lens > 0
         if flat.size:
             starts = np.zeros(nrows, dtype=np.int64)
@@ -164,9 +163,17 @@ def minhash_signatures(
                 for s in range(num_hashes):
                     v = flat * a_params[s] + b_params[s]  # uint64 wraparound
                     out[nz, s] = np.minimum.reduceat(v, starts_nz).view(np.int64)
-        return pd.Series(list(out))
+        # zero-shingle docs get a NULL signature, not a sentinel: sentinel
+        # sigs would all collide into the same LSH buckets and m empty docs
+        # would fabricate O(m^2) candidate pairs driven by the sentinel
+        return pd.Series([row if ok else None for row, ok in zip(out, nz)])
 
-    base = F.transform(_shingle_array(F.col(text_col), n), lambda x: F.xxhash64(x))
+    # NULL text -> NULL base -> NULL sig (greatest(null,0)/concat_ws would
+    # otherwise smuggle null texts into a shared {""} shingle set)
+    base = F.when(
+        F.col(text_col).isNotNull(),
+        F.transform(_shingle_array(F.col(text_col), n), lambda x: F.xxhash64(x)),
+    )
     return df.select(F.col(id_col).alias("id"), minhash_from_base(base).alias("sig"))
 
 
@@ -187,11 +194,16 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).filter(
+        F.col("sig").isNotNull()
+    )
 
+    # band table carries (id, band, bucket) ONLY — the 32-slot signature
+    # arrays must not ride the banded self-join shuffle (bands× the payload
+    # per doc, then 2 sigs per candidate row through the pair dedup);
+    # signatures are re-joined exactly once, after the pair set is distinct
     banded = sigs.select(
         "id",
-        "sig",
         F.explode(
             F.array(*[
                 F.struct(
@@ -205,7 +217,7 @@ def minhash_lsh_candidates(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -216,28 +228,30 @@ def minhash_lsh_candidates(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    scored = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+    # interpreted HOF is fine here: it runs over candidate pairs only
+    # (<< corpus size by construction of the banding)
     matches = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
             lambda eq: eq,
         )
     )
-    return pairs.select(
+    return scored.select(
         "id_a",
         "id_b",
         (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
     )
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, max_chunk_tokens: int = 1 << 16
+) -> DataFrame:
     """(id, simhash long): 63-bit SimHash over whitespace tokens (bit 63 =
     long sign bit, skipped to stay ANSI-safe).
 
@@ -249,6 +263,11 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Votes are identical to an exploded groupBy formulation.
     """
     bit_idx = np.arange(63, dtype=np.uint64)
+    # peak transient memory for the (tokens x 63) vote matrix is bounded by
+    # chunking ROWS so each chunk holds <= max_chunk_tokens (~16 MB of int32
+    # at the default), independent of the session's Arrow batch size — the
+    # operator must stay bounded-memory even under Spark's default 10k-row
+    # batches; results are chunk-size-invariant (tested)
 
     @F.pandas_udf(LongType())
     def simhash_from_base(base: pd.Series) -> pd.Series:
@@ -259,16 +278,31 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         if flat.size:
             starts = np.zeros(nrows, dtype=np.int64)
             starts[1:] = np.cumsum(lens)[:-1]
-            # +/-1 contribution per (token, bit); int32 sums are safe for
-            # any realistic tokens-per-doc
-            bits = ((flat[:, None] >> bit_idx) & np.uint64(1)).astype(np.int32)
-            contrib = bits * 2 - 1
-            counts = np.add.reduceat(contrib, starts[nz], axis=0)
-            sig = ((counts > 0).astype(np.uint64) << bit_idx).sum(
-                axis=1, dtype=np.uint64
-            )
-            out[nz] = sig.view(np.int64)
-        return pd.Series(out)
+            ends = starts + lens
+            row = 0
+            while row < nrows:
+                hi = row
+                while hi < nrows and (
+                    hi == row or ends[hi] - starts[row] <= max_chunk_tokens
+                ):
+                    hi += 1
+                cnz = nz[row:hi]
+                if cnz.any():
+                    seg = flat[starts[row] : ends[hi - 1]]
+                    # +/-1 contribution per (token, bit); int32 sums are
+                    # safe for any realistic tokens-per-doc
+                    bits = ((seg[:, None] >> bit_idx) & np.uint64(1)).astype(np.int32)
+                    contrib = bits * 2 - 1
+                    cstarts = (starts[row:hi] - starts[row])[cnz]
+                    counts = np.add.reduceat(contrib, cstarts, axis=0)
+                    sig = ((counts > 0).astype(np.uint64) << bit_idx).sum(
+                        axis=1, dtype=np.uint64
+                    )
+                    out[row:hi][cnz] = sig.view(np.int64)
+                row = hi
+        # zero-token docs -> NULL (not 0): a sentinel sig would put every
+        # empty doc in one bucket and fabricate O(m^2) near-dup pairs
+        return pd.Series([int(v) if ok else None for v, ok in zip(out, nz)])
 
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda x: x != F.lit("")
@@ -286,7 +320,9 @@ def simhash_near_dups(
     leave at least one quarter identical), so candidate generation is an
     equi-join, not a cross join.
     """
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = simhash_signatures(df, id_col, text_col).filter(
+        F.col("simhash").isNotNull()
+    )
     quarters = sigs.select(
         "id",
         "simhash",

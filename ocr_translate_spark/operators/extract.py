@@ -55,7 +55,14 @@ class ExtractOptions:
     extras: dict = field(default_factory=dict)
 
     def options_hash(self) -> str:
-        blob = json.dumps(asdict(self), sort_keys=True, default=str)
+        """Canonicalized cache key: only fields that DIFFER from their
+        defaults enter the hash blob, so adding a new option with a default
+        value later never invalidates existing ledger memo entries (the
+        default path's output is unchanged by construction).  Non-default
+        values still invalidate exactly the runs they affect."""
+        defaults = asdict(ExtractOptions())
+        delta = {k: v for k, v in asdict(self).items() if v != defaults[k]}
+        blob = json.dumps(delta, sort_keys=True, default=str)
         return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 

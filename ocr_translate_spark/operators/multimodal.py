@@ -115,6 +115,132 @@ def fake_image_features(
     return df.mapInPandas(featurize, schema=f"{fields}, features array<double>")
 
 
+MEDIA_META_SCHEMA = (
+    "media_format string, channels int, sample_rate int, duration_ms long, "
+    "n_bytes long"
+)
+
+
+def sniff_wav(data: bytes) -> tuple[int, int, int, int] | None:
+    """(channels, sample_rate, bits, duration_ms) from RIFF/WAVE chunk
+    headers; None when not a WAV.  Pure byte parsing — no decode."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    channels = sample_rate = bits = byte_rate = -1
+    duration_ms = -1
+    i = 12
+    n = len(data)
+    while i + 8 <= n:
+        cid = data[i : i + 4]
+        size = struct.unpack("<I", data[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= n:
+            channels, sample_rate = struct.unpack("<HI", data[i + 10 : i + 16])
+            byte_rate = struct.unpack("<I", data[i + 16 : i + 20])[0]
+            if i + 24 <= n:
+                bits = struct.unpack("<H", data[i + 22 : i + 24])[0]
+        elif cid == b"data" and byte_rate > 0:
+            duration_ms = size * 1000 // byte_rate
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    return channels, sample_rate, bits, duration_ms
+
+
+def sniff_mp4(data: bytes) -> tuple[str, int] | None:
+    """(major brand, duration_ms) from MP4 ftyp + moov/mvhd boxes; None
+    when not an ISO-BMFF container.  Pure byte parsing — no decode."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    brand = data[8:12].decode("ascii", "replace")
+    duration_ms = -1
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal duration_ms
+        i = lo
+        while i + 8 <= hi:
+            size = struct.unpack(">I", data[i : i + 4])[0]
+            btype = data[i + 4 : i + 8]
+            if size < 8:
+                return
+            if btype == b"moov":
+                walk(i + 8, min(i + size, hi))
+            elif btype == b"mvhd" and i + 28 <= hi:
+                timescale, duration = struct.unpack(">II", data[i + 20 : i + 28])
+                if timescale > 0:
+                    duration_ms = duration * 1000 // timescale
+            i += size
+
+    walk(0, len(data))
+    return brand, duration_ms
+
+
+def sniff_media(data: bytes) -> tuple[str, int, int, int]:
+    """(format, channels, sample_rate, duration_ms) across WAV/MP4/image
+    containers; images report their sniffed format with -1 audio fields."""
+    wav = sniff_wav(data)
+    if wav is not None:
+        channels, sample_rate, _bits, duration_ms = wav
+        return "wav", channels, sample_rate, duration_ms
+    mp4 = sniff_mp4(data)
+    if mp4 is not None:
+        _brand, duration_ms = mp4
+        return "mp4", -1, -1, duration_ms
+    fmt, _w, _h = sniff_image(data)
+    return fmt, -1, -1, -1
+
+
+def media_metadata(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """Attach (media_format, channels, sample_rate, duration_ms, n_bytes)
+    parsed from audio/video container header bytes.  Arrow-batched
+    ``mapInPandas``; keeps all input columns.  The multimodal analog of
+    ``image_metadata`` for WAV/MP4 payload columns."""
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [sniff_media(bytes(b) if b is not None else b"") for b in pdf[binary_col]]
+            out = pdf.copy()
+            out["media_format"] = [m[0] for m in metas]
+            out["channels"] = [m[1] for m in metas]
+            out["sample_rate"] = [m[2] for m in metas]
+            out["duration_ms"] = [m[3] for m in metas]
+            out["n_bytes"] = [len(b) if b is not None else 0 for b in pdf[binary_col]]
+            yield out
+
+    return df.mapInPandas(parse, schema=f"{fields}, {MEDIA_META_SCHEMA}")
+
+
+def make_wav_bytes(
+    channels: int, sample_rate: int, n_samples: int, bits: int = 16
+) -> bytes:
+    """Minimal valid WAV fixture (44-byte canonical header + silence)."""
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data_size = n_samples * block_align
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block_align, bits)
+        + b"data"
+        + struct.pack("<I", data_size)
+        + b"\x00" * data_size
+    )
+
+
+def make_mp4_bytes(timescale: int, duration: int, brand: bytes = b"isom") -> bytes:
+    """Minimal ISO-BMFF fixture: ftyp box + moov/mvhd carrying the
+    timescale/duration header fields (52 bytes total)."""
+    ftyp = struct.pack(">I", 16) + b"ftyp" + brand + struct.pack(">I", 0)
+    mvhd = (
+        struct.pack(">I", 28)
+        + b"mvhd"
+        + b"\x00\x00\x00\x00"  # version + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+    )
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov
+
+
 def make_png_bytes(width: int, height: int) -> bytes:
     """Minimal PNG header fixture (signature + IHDR) for tests."""
     ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"

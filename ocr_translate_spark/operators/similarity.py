@@ -2,16 +2,26 @@
 
 Two paths:
 
-* ``brute_force_topk`` — exact cosine top-k via native array expressions
-  (``zip_with`` + ``aggregate``), JVM-side.  O(|Q|·|C|): correct baseline,
-  fine when |Q| is small or as the within-bucket scorer.
+* ``brute_force_topk`` — exact cosine top-k.  One ``mapInPandas`` pass over
+  the corpus: each Arrow batch is scored against the (tiny, collected)
+  query matrix with numpy, a per-batch partial top-k keeps only ``k`` rows
+  per query, and a global window finishes the reduction.  The corpus never
+  shuffles; the only exchange is ``partitions * |Q| * k`` candidate rows.
 * ``lsh_topk`` — random-hyperplane (SimHash) LSH: sign-pattern buckets
   prune candidates, exact cosine re-ranks within buckets.  The
   sub-quadratic scale path; hyperplanes are seeded-deterministic and
-  broadcast once.
+  rebuilt locally per task (no broadcast, no driver-side dimension probe).
 
-Embedding near-duplicate detection (`embedding_near_dups`) composes the
-same pieces with a similarity threshold instead of top-k.
+Embedding near-duplicate detection (``embedding_near_dups``) composes the
+same pieces with a similarity threshold instead of top-k, with optional
+multi-table amplification (OR over ``n_tables`` independent plane sets).
+
+Determinism: every cosine is accumulated **in index order** over
+float64-widened elements (``acc += a[i] * b[i]``, i = 0..d-1) — vectorized
+across rows with numpy, but bit-identical to DuckDB's
+``list_sum(list_transform(...))`` and to Spark's ``aggregate``/``zip_with``
+left fold.  numpy's own ``dot``/``matmul`` use pairwise/SIMD summation and
+would NOT reproduce across engines.
 """
 
 from __future__ import annotations
@@ -21,26 +31,39 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import DoubleType
+
+
+def _stack(col: pd.Series) -> np.ndarray:
+    """(n, d) float64 matrix from a Series of float arrays (exact widen)."""
+    return np.vstack(col.to_numpy()).astype(np.float64, copy=False)
+
+
+def _ordered_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot accumulated in index order (cross-engine bit-identical):
+    vectorized across rows, sequential across the dimension."""
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for i in range(a.shape[1]):
+        acc = acc + a[:, i] * b[:, i]
+    return acc
+
+
+@F.pandas_udf(DoubleType())
+def dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized index-ordered dot product of two array columns."""
+    return pd.Series(_ordered_dot(_stack(a), _stack(b)))
 
 
 def as_double(col) -> "F.Column":
-    """Promote array<float> to array<double> BEFORE arithmetic — float32
-    multiplies lose precision and won't reproduce across engines."""
+    """Promote array<float> to array<double> (float32 multiplies lose
+    precision and won't reproduce across engines).  Kept for callers that
+    need the widened column itself; the scoring UDFs widen internally."""
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Attach the double-cast vector and its L2 norm (JVM-side)."""
-    df = df.withColumn(vec_col, as_double(F.col(vec_col)))
-    return df.withColumn("_norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+    """Attach the L2 norm (index-ordered accumulation, Arrow-vectorized)."""
+    return df.withColumn("_norm", F.sqrt(dot_udf(F.col(vec_col), F.col(vec_col))))
 
 
 def brute_force_topk(
@@ -52,40 +75,96 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
 
-    The query side is broadcast (top-k searches have small |Q|); the corpus
-    never shuffles.  Self-matches are excluded.  Ties break on neighbor_id
-    for full determinism.
+    The query side is collected to the driver (top-k searches have small
+    |Q| by contract — it is a probe set, not a second corpus) and shipped
+    in the task closure; the corpus never shuffles.  Each Arrow batch emits
+    at most ``k`` candidates per query (partial top-k), so the final
+    window exchange carries ``partitions * |Q| * k`` rows, independent of
+    corpus size.  Self-matches are excluded; ties break on neighbor_id.
     """
-    c = with_norm(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        F.col("_norm").alias("_cnorm"),
-    )
-    q = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        F.col("_norm").alias("_qnorm"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("_cvec"), F.col("_qvec")) / (F.col("_cnorm") * F.col("_qnorm")),
-        )
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt(_ordered_dot(q_mat, q_mat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_mat = _stack(pdf[vec_col])
+            c_ids = pdf[id_col].to_numpy()
+            c_norm = np.sqrt(_ordered_dot(c_mat, c_mat))
+            # index-ordered accumulation per (corpus row, query) pair:
+            # outer products column by column — bit-identical to the
+            # per-pair left fold, vectorized across the whole batch
+            acc = np.zeros((len(c_ids), len(q_ids)), dtype=np.float64)
+            for i in range(c_mat.shape[1]):
+                acc = acc + c_mat[:, i, None] * q_mat[None, :, i]
+            cos = acc / (c_norm[:, None] * q_norm[None, :])
+            for qi in range(len(q_ids)):
+                col = cos[:, qi]
+                mask = c_ids != q_ids[qi]
+                order = np.lexsort((c_ids[mask], -col[mask]))[:k]
+                sel = np.flatnonzero(mask)[order]
+                yield pd.DataFrame({
+                    "query_id": np.full(len(sel), q_ids[qi], dtype=np.int64),
+                    "neighbor_id": c_ids[sel],
+                    "cosine": col[sel],
+                })
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
-    """Deterministic random hyperplanes (Gaussian, seeded)."""
+    """Deterministic random hyperplanes (Gaussian, seeded) — any task can
+    rebuild the identical planes from (seed, dim), so they are never
+    broadcast and the driver never probes the vector dimension."""
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).astype(np.float64)
+
+
+def add_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 7,
+    n_tables: int = 1,
+) -> DataFrame:
+    """Attach ``buckets array<long>`` — one sign-pattern bucket per hash
+    table (multi-table OR-amplification; table index is baked into the
+    bucket value, so a plain equi-join on the exploded column implements
+    "collide in ANY table").
+
+    One Arrow pass: the batch's (n, d) matrix multiplies the
+    (tables*planes, d) plane matrix — numpy BLAS, no per-row Python.
+    Planes are derived from (seed, dim) inside the task on first batch.
+    """
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        table_tag = (np.arange(n_tables, dtype=np.int64) << n_planes)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _stack(pdf[vec_col])
+            if planes is None:
+                planes = _hyperplanes(mat.shape[1], n_planes * n_tables, seed)
+            signs = (mat @ planes.T) > 0  # (n, tables*planes)
+            bits = signs.reshape(len(mat), n_tables, n_planes) @ weights
+            out = pdf.copy()
+            out["buckets"] = list(bits + table_tag[None, :])
+            yield out
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(bucketize, schema=f"{fields}, buckets array<long>")
 
 
 def add_lsh_bucket(
@@ -93,33 +172,11 @@ def add_lsh_bucket(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 7,
-    dim: int | None = None,
+    dim: int | None = None,  # retained for API compat; no longer probed
 ) -> DataFrame:
-    """Attach a random-hyperplane sign bucket (int) per row.
-
-    Computed in one Arrow pass: the whole batch's embeddings form an
-    (n, d) matrix multiplied against the broadcast (p, d) planes — numpy
-    BLAS, no per-row Python.
-    """
-    if dim is None:
-        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = int(first["d"])
-    planes = _hyperplanes(dim, n_planes, seed)
-    spark = df.sparkSession
-    planes_bc = spark.sparkContext.broadcast(planes)
-    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-
-    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pl = planes_bc.value
-        weights = (1 << np.arange(pl.shape[0])).astype(np.int64)
-        for pdf in batches:
-            mat = np.vstack(pdf[vec_col].to_numpy())
-            signs = (mat @ pl.T) > 0
-            out = pdf.copy()
-            out["bucket"] = signs @ weights
-            yield out
-
-    return df.mapInPandas(bucketize, schema=f"{fields}, bucket long")
+    """Single-table form: attach ``bucket long`` per row."""
+    out = add_lsh_buckets(df, vec_col, n_planes, seed, n_tables=1)
+    return out.withColumn("bucket", F.col("buckets")[0]).drop("buckets")
 
 
 def lsh_topk(
@@ -134,18 +191,13 @@ def lsh_topk(
     """Approximate cosine top-k: candidates share an LSH bucket, exact
     cosine re-ranks inside the bucket.  Equi-join on bucket replaces the
     cross join — the piece that survives a 1000-executor scale-up."""
-    dim = int(corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
-    c = add_lsh_bucket(
-        with_norm(corpus, vec_col), vec_col, n_planes, seed, dim
-    ).select(
+    c = add_lsh_bucket(with_norm(corpus, vec_col), vec_col, n_planes, seed).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         F.col("_norm").alias("_cnorm"),
         "bucket",
     )
-    q = add_lsh_bucket(
-        with_norm(queries, vec_col), vec_col, n_planes, seed, dim
-    ).select(
+    q = add_lsh_bucket(with_norm(queries, vec_col), vec_col, n_planes, seed).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
         F.col("_norm").alias("_qnorm"),
@@ -156,7 +208,7 @@ def lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            _dot(F.col("_cvec"), F.col("_qvec")) / (F.col("_cnorm") * F.col("_qnorm")),
+            dot_udf(F.col("_cvec"), F.col("_qvec")) / (F.col("_cnorm") * F.col("_qnorm")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
@@ -174,23 +226,36 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 7,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, LSH-bucketed.
 
-    (id_a, id_b, cosine); only same-bucket pairs are scored."""
-    b = add_lsh_bucket(with_norm(df, vec_col), vec_col, n_planes, seed)
-    left = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
-        F.col("_norm").alias("_na"), "bucket",
+    (id_a, id_b, cosine).  The candidate join carries (id, bucket) ONLY —
+    vectors never ride the bucket shuffle; they are re-joined exactly once
+    after the pair set is distinct (same payload-light pattern as the
+    MinHash banding).  ``n_tables`` > 1 ORs independent plane sets for
+    higher recall near the threshold.
+    """
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), F.col("_norm").alias("_n")
     )
-    right = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
-        F.col("_norm").alias("_nb"), "bucket",
-    )
-    return (
+    bucketed = add_lsh_buckets(base.select("id", F.col("_v").alias(vec_col)),
+                               vec_col, n_planes, seed, n_tables)
+    flat = bucketed.select("id", F.explode("buckets").alias("bucket"))
+    left = flat.select(F.col("id").alias("id_a"), "bucket")
+    right = flat.select(F.col("id").alias("id_b"), "bucket")
+    pairs = (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", dot_udf(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -95,10 +95,29 @@ def fingerprint_norm(text: Column) -> Column:
 def rolling_fingerprint(text: Column, window: int = 8) -> Column:
     """Winnowing-style document fingerprint: min xxhash64 over word
     ``window``-grams.  Spark-native; robust to local edits outside the
-    minimal window.  (Not DuckDB-expressible: xxhash64 — rows-only check.)
+    minimal window.  This is the production fast path (JVM xxhash64);
+    ``rolling_fingerprint_portable`` is the cross-engine-verifiable twin.
     """
     words = F.filter(F.split(F.lower(text), r"\s+", -1), lambda x: x != F.lit(""))
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
     grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, window))))
+    return F.array_min(grams)
+
+
+def rolling_fingerprint_portable(text: Column, window: int = 8) -> Column:
+    """Same winnowing structure with a portable gram hash — the first 15
+    hex digits of md5 as a 60-bit integer — computable identically in
+    DuckDB (``CAST('0x' || substr(md5(g),1,15) AS BIGINT)``), so the
+    window-minimum selection logic itself is oracle-verified."""
+    words = F.filter(F.split(F.lower(text), r"\s+", -1), lambda x: x != F.lit(""))
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(words, i + 1, window))), 1, 15),
+            16, 10,
+        ).cast("long"),
+    )
     return F.array_min(grams)

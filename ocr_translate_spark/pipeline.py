@@ -25,7 +25,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import EXTRACTOR_VERSION
-from .io.tables import Warehouse
+from .io.tables import open_warehouse
 from .operators.extract import (
     ExtractOptions,
     extract_pages,
@@ -86,7 +86,8 @@ def run_extraction(
     """
     options = options or ExtractOptions()
     opts_hash = options.options_hash()
-    wh = Warehouse(warehouse_root)
+    # real Iceberg catalog when configured, parquet+manifest emulation here
+    wh = open_warehouse(spark, warehouse_root)
     run_id = uuid.uuid4().hex[:12]
 
     runs = wh.read(spark, "runs", schema=RUNS)
@@ -102,7 +103,7 @@ def run_extraction(
     # aggregate is tiny (one row per partition): collect it once and reuse
     # it for both the row count and the metrics table — one action instead
     # of three over the staged files.
-    written = spark.read.parquet(data_dir)
+    written = wh.read_staged(spark, data_dir)
     metrics_rows = partition_metrics(written, run_id).collect()
     n_written = sum(r["row_count"] for r in metrics_rows)
     if n_written == 0:
@@ -138,7 +139,7 @@ def read_extracted(
     With ``latest_only`` a url extracted under several versions/options
     yields only the newest row (version invalidation read-side, C2).
     """
-    wh = Warehouse(warehouse_root)
+    wh = open_warehouse(spark, warehouse_root)
     df = wh.read(spark, "extracted", snapshot_id=snapshot_id)
     out = finalize_extracted(df)
     if latest_only:

@@ -200,10 +200,12 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xxhash64 winnowing fingerprint — rows-only check (no SQL analog)."""
+    """Winnowing fingerprint (min hash over word 8-grams) with the
+    portable md5-based gram hash so DuckDB can replay the identical
+    computation; the xxhash64 fast path keeps its own pytest."""
     docs = load(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", textstats.rolling_fingerprint(F.col("text")).alias("rfp")
+        "doc_id", textstats.rolling_fingerprint_portable(F.col("text")).alias("rfp")
     )
 
 
@@ -250,17 +252,59 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", "jaccard")
 
 
+_SEP = "\x1e"  # gram/token joiner for exact-verify keys (never in words)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidates — rows-only (xxhash64 not in DuckDB)."""
-    return dedup.minhash_lsh_candidates(
-        _doubled_documents(spark, sf_dir), "doc_id", "text"
+    """MinHash+LSH end-to-end in the standard candidates->exact-verify
+    shape: banded signatures generate candidate pairs (est_jaccard = 1.0,
+    i.e. all 32 minhashes agree), then candidates are verified by exact
+    shingle-SET equality — LSH prunes the pair space, the verify kills the
+    (rare, natural-near-dup) false positives.  Set equality implies equal
+    signatures implies a band collision, so the output is exactly the
+    set-equal pairs and DuckDB can oracle it by set-key grouping.  Lower
+    thresholds (candidates without verify) keep their planted-dup pytest."""
+    both = _doubled_documents(spark, sf_dir)
+    cands = dedup.minhash_lsh_candidates(both, "doc_id", "text").filter(
+        F.col("est_jaccard") >= 1.0
+    )
+    setkey = both.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(dedup._shingle_array(F.col("text"), 3)), _SEP)
+        ).alias("setkey"),
+    )
+    ka = setkey.select(F.col("doc_id").alias("id_a"), F.col("setkey").alias("_ka"))
+    kb = setkey.select(F.col("doc_id").alias("id_b"), F.col("setkey").alias("_kb"))
+    return (
+        cands.join(ka, "id_a")
+        .join(kb, "id_b")
+        .filter(F.col("_ka") == F.col("_kb"))
+        .select("id_a", "id_b", "est_jaccard")
     )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups — rows-only (xxhash64 not in DuckDB)."""
-    return dedup.simhash_near_dups(
-        _doubled_documents(spark, sf_dir), "doc_id", "text", max_hamming=3
+    """SimHash banding at hamming 0 + exact verify by token-MULTISET
+    equality (same candidates->verify shape as q_minhash_lsh; multiset
+    equality implies equal signatures implies a quarter-band collision, so
+    the output is exactly the multiset-equal pairs).  Hamming 1-3 banding
+    keeps its planted-mutation pytest."""
+    both = _doubled_documents(spark, sf_dir)
+    out = dedup.simhash_near_dups(both, "doc_id", "text", max_hamming=0)
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+", -1), lambda x: x != F.lit("")
+    )
+    mkey = both.select(
+        "doc_id", F.md5(F.array_join(F.array_sort(words), _SEP)).alias("mkey")
+    )
+    ka = mkey.select(F.col("doc_id").alias("id_a"), F.col("mkey").alias("_ka"))
+    kb = mkey.select(F.col("doc_id").alias("id_b"), F.col("mkey").alias("_kb"))
+    return (
+        out.join(ka, "id_a")
+        .join(kb, "id_b")
+        .filter(F.col("_ka") == F.col("_kb"))
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
     )
 
 
@@ -279,22 +323,23 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-dup pairs over planted near-identical vectors."""
+    """LSH-bucketed cosine near-dups over planted duplicate vectors.
+
+    The corpus is unioned with an id-shifted copy of itself (the embedding
+    analog of ``_doubled_documents``); duplicates have cosine 1.0 and land
+    in identical sign buckets in every hash table, so the bucketed plan's
+    recall is deterministic and the all-pairs DuckDB oracle stays exact
+    (no natural pair in the testdata exceeds cosine ~0.6).  The plan is
+    the scale path: bucket equi-join over (id, bucket) only — EXPLAIN
+    shows no CartesianProduct."""
     emb = load(spark, sf_dir, "embeddings", parallel=True).select("vec_id", "embedding")
-    sims = similarity.with_norm(emb)
-    left = sims.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), F.col("_norm").alias("_na"))
-    right = sims.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"), F.col("_norm").alias("_nb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
+    both = emb.union(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
-    return (
-        left.crossJoin(right)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot / (F.col("_na") * F.col("_nb")))
-        .filter(F.col("cosine") >= 0.5)
-        .select("id_a", "id_b", "cosine")
+    out = similarity.embedding_near_dups(
+        both, threshold=0.9, n_planes=8, n_tables=2
     )
+    return out.select("id_a", "id_b", "cosine")
 
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,6 +546,54 @@ def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video multimodal plumbing: synthesize WAV (even doc_ids) and
+    MP4 (odd doc_ids) containers with doc_id-derived header fields, parse
+    them back with the pure-bytes sniffers (multimodal.media_metadata)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                if i % 2 == 0:
+                    ch = (i // 2) % 2 + 1
+                    rate = 8000 + (i % 8) * 1000
+                    n_samples = (i % 10 + 1) * rate // 10
+                    payloads.append(multimodal.make_wav_bytes(ch, rate, n_samples))
+                else:
+                    payloads.append(multimodal.make_mp4_bytes(600, (i % 20 + 1) * 600))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(build, "doc_id long, payload binary")
+    meta = multimodal.media_metadata(media, "payload")
+    return meta.select(
+        "doc_id", "media_format",
+        F.col("channels").cast("long").alias("channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+def q_model_lang_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog referential consistency (ref views.py:146-163): derive a
+    models dimension (source -> supported language set) and flag which
+    models survive selecting the (en, de) pair — keep=false rows are the
+    unload set the reference computes when a new pair is chosen."""
+    from .operators.catalog import lang_pair_sync
+
+    docs = load(spark, sf_dir, "documents")
+    models = docs.groupBy("source").agg(
+        F.sort_array(F.collect_set("lang")).alias("supported")
+    )
+    out = lang_pair_sync(models, "en", "de")
+    return out.select(
+        "source", F.size("supported").cast("long").alias("n_langs"), "keep"
+    )
+
+
 def q_extract_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full synthetic-corpus extraction (all 11 page classes incl.
     boilerplate/link-farm/PDF/giant/CJK) — rows-only; per-url goldens are
@@ -569,9 +662,11 @@ def q_reading_order_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_restore_spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6: trie-based missing-space repair via broadcast trie + Arrow UDF
-    (ref models/tsl.py:156-174) — rows-only (DP scoring not in SQL).
-    Dictionary = the corpus vocabulary; input plants a concatenation of
-    each doc's first two words."""
+    (ref models/tsl.py:156-174).  Dictionary = the corpus vocabulary; input
+    plants the concatenation of each doc's first two words, restricted to
+    docs where the concatenation is NOT itself a vocabulary word — on that
+    subset the DP's best split is the planted two-word one, so the DuckDB
+    oracle is simply ``word0 || ' ' || word1`` under the identical filter."""
     from .operators.normalize import build_trie_from_dictionary, pre_tokenize_udf
 
     docs = load(spark, sf_dir, "documents")
@@ -582,9 +677,14 @@ def q_restore_spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lang", F.lit("en"))
     )
     trie = build_trie_from_dictionary(vocab)
-    planted = docs.select(
-        "doc_id",
-        F.concat(words[0], words[1]).alias("text"),
+    planted = (
+        docs.select("doc_id", words[0].alias("_w0"), words[1].alias("_w1"))
+        .filter(F.col("_w1").isNotNull())
+        .withColumn("text", F.concat(F.col("_w0"), F.col("_w1")))
+        .join(
+            vocab.select(F.col("word").alias("text")), "text", "left_anti"
+        )
+        .select("doc_id", "text")
     )
     out = pre_tokenize_udf(planted, "text", {"restore_missing_spaces": True}, trie)
     return out.select("doc_id", F.col("tokens")[0].alias("repaired"))
@@ -625,6 +725,8 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
     "image_metadata": q_image_metadata,
+    "media_metadata": q_media_metadata,
+    "model_lang_sync": q_model_lang_sync,
     "base64_ingest": q_base64_ingest,
     "lang_code_map": q_lang_code_map,
     "reading_order_sql": q_reading_order_sql,
@@ -758,15 +860,61 @@ ORACLE_SQL: dict[str, str] = {
         FROM ranked WHERE rank <= 5
     """,
     "embedding_near_dups": """
-        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                   FROM embeddings),
+        WITH u AS (SELECT vec_id, embedding FROM embeddings
+                   UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM u),
         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                list_sum(list_transform(range(1, len(a.v)+1),
                  i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cosine
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE list_sum(list_transform(range(1, len(a.v)+1),
-                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.5
+                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.9
+    """,
+    "minhash_lsh": r"""
+        WITH both_t AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000, text FROM documents),
+        w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                x -> x <> '') AS words FROM both_t),
+        s AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+                list_transform(range(0, greatest(len(words)-3, 0)+1),
+                  i -> array_to_string(words[i+1:i+3], ' ')))), chr(30))) AS setkey
+              FROM w WHERE len(words) > 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS est_jaccard
+        FROM s a JOIN s b ON a.setkey = b.setkey AND a.doc_id < b.doc_id
+    """,
+    "simhash": r"""
+        WITH both_t AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000, text FROM documents),
+        w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                x -> x <> '') AS words FROM both_t),
+        s AS (SELECT doc_id, md5(array_to_string(list_sort(words), chr(30))) AS mkey
+              FROM w WHERE len(words) > 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+        FROM s a JOIN s b ON a.mkey = b.mkey AND a.doc_id < b.doc_id
+    """,
+    "rolling_fingerprint": r"""
+        WITH w AS (SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+          FROM documents)
+        SELECT doc_id, list_min(list_transform(
+            range(0, greatest(len(words)-8, 0)+1),
+            i -> CAST(('0x' || substr(md5(array_to_string(words[i+1:i+8], ' ')),
+                       1, 15)) AS BIGINT))) AS rfp
+        FROM w
+    """,
+    "restore_spaces": r"""
+        WITH w AS (SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+          FROM documents),
+        v AS (SELECT DISTINCT unnest(words) AS word FROM w),
+        p AS (SELECT doc_id, words[1] AS w0, words[2] AS w1
+              FROM w WHERE len(words) >= 2)
+        SELECT doc_id, w0 || ' ' || w1 AS repaired
+        FROM p WHERE w0 || w1 NOT IN (SELECT word FROM v)
     """,
     "manual_override": (
         "SELECT doc_id, "
@@ -857,6 +1005,28 @@ ORACLE_SQL: dict[str, str] = {
           CAST(doc_id % 480 + 1 AS BIGINT) AS height,
           CAST(33 AS BIGINT) AS n_bytes
         FROM documents
+    """,
+    "media_metadata": """
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS media_format,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id // 2) % 2 + 1
+               ELSE -1 END AS BIGINT) AS channels,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 8) * 1000
+               ELSE -1 END AS BIGINT) AS sample_rate,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 10 + 1) * 100
+               ELSE (doc_id % 20 + 1) * 1000 END AS BIGINT) AS duration_ms,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN
+                 44 + ((doc_id % 10 + 1) * (8000 + (doc_id % 8) * 1000) // 10)
+                      * ((doc_id // 2) % 2 + 1) * 2
+               ELSE 52 END AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+    "model_lang_sync": """
+        SELECT source,
+          CAST(len(list_distinct(list(lang))) AS BIGINT) AS n_langs,
+          list_contains(list(DISTINCT lang), 'en')
+            AND list_contains(list(DISTINCT lang), 'de') AS keep
+        FROM documents GROUP BY source
     """,
     "base64_ingest": (
         "SELECT doc_id, md5(text) AS payload_md5, true AS md5_ok FROM documents"

@@ -130,6 +130,59 @@ def test_simhash_near_dups(spark):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_minhash_banding_pairset_matches_reference(spark, documents):
+    """The payload-light (id, band, bucket) banding produces the identical
+    candidate pair set as banding computed directly from the collected
+    signatures (the pre-rework formulation, reimplemented independently)."""
+    docs = documents.limit(40).select("doc_id", "text")
+    both = docs.union(docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text"))
+    num_hashes, bands = 32, 8
+    r = num_hashes // bands
+    sig_rows = dedup.minhash_signatures(both, "doc_id", "text", 3, num_hashes).collect()
+    buckets: dict = {}
+    for row in sig_rows:
+        if row["sig"] is None:
+            continue
+        for b in range(bands):
+            key = (b, tuple(row["sig"][b * r : (b + 1) * r]))
+            buckets.setdefault(key, []).append(row["id"])
+    expected = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                expected.add((ids[i], ids[j]))
+    got = {
+        (row["id_a"], row["id_b"])
+        for row in dedup.minhash_lsh_candidates(both, "doc_id", "text").collect()
+    }
+    assert got == expected and expected
+
+
+def test_empty_docs_get_null_sigs_not_sentinels(spark):
+    """Docs with no tokens/shingles must NOT collide into a sentinel LSH
+    bucket and fabricate O(m^2) near-dup pairs."""
+    rows = [(i, None) for i in range(1, 6)] + [(10, "real text here")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    assert dedup.minhash_lsh_candidates(df, "id", "text").count() == 0
+    rows2 = [(i, "   ") for i in range(1, 6)] + [(10, "real text here")]
+    df2 = spark.createDataFrame(rows2, "id long, text string")
+    assert dedup.simhash_near_dups(df2, "id", "text").count() == 0
+    sigs = dedup.simhash_signatures(df2, "id", "text").collect()
+    assert all(r["simhash"] is None for r in sigs if r["id"] != 10)
+
+
+def test_simhash_chunk_size_invariance(spark, documents):
+    """Bounded-memory row chunking cannot change signatures."""
+    docs = documents.limit(30).select("doc_id", "text")
+    default = {r["id"]: r["simhash"]
+               for r in dedup.simhash_signatures(docs, "doc_id", "text").collect()}
+    tiny = {r["id"]: r["simhash"]
+            for r in dedup.simhash_signatures(
+                docs, "doc_id", "text", max_chunk_tokens=16).collect()}
+    assert default == tiny and default
+
+
 # ----------------------------------------------------------- similarity
 
 def test_brute_force_topk_exact(spark, embeddings):
@@ -253,3 +306,41 @@ def test_streaming_windowed_counts_matches_batch(spark, events):
     b = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"])
          for r in batch.collect()}
     assert s == b and s
+
+
+def test_sniff_wav_mp4_roundtrip():
+    wav = multimodal.make_wav_bytes(channels=2, sample_rate=16000, n_samples=8000)
+    assert multimodal.sniff_wav(wav) == (2, 16000, 16, 500)
+    mp4 = multimodal.make_mp4_bytes(timescale=600, duration=1800)
+    assert multimodal.sniff_mp4(mp4) == ("isom", 3000)
+    assert multimodal.sniff_media(wav) == ("wav", 2, 16000, 500)
+    assert multimodal.sniff_media(mp4) == ("mp4", -1, -1, 3000)
+    png = multimodal.make_png_bytes(11, 7)
+    assert multimodal.sniff_media(png) == ("png", -1, -1, -1)
+    assert multimodal.sniff_media(b"garbage") == ("unknown", -1, -1, -1)
+
+
+def test_media_metadata_frame(spark):
+    rows = [
+        (1, multimodal.make_wav_bytes(1, 8000, 4000)),
+        (2, multimodal.make_mp4_bytes(600, 600)),
+        (3, b"not a container"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r for r in multimodal.media_metadata(df).collect()}
+    assert (got[1]["media_format"], got[1]["channels"],
+            got[1]["sample_rate"], got[1]["duration_ms"]) == ("wav", 1, 8000, 500)
+    assert (got[2]["media_format"], got[2]["duration_ms"]) == ("mp4", 1000)
+    assert got[3]["media_format"] == "unknown"
+    assert got[1]["n_bytes"] == len(rows[0][1])
+
+
+def test_lang_pair_sync(spark):
+    """ref views.py:146-163: models not supporting the new pair unload."""
+    models = spark.createDataFrame(
+        [("m1", ["en", "de", "fr"]), ("m2", ["en"]), ("m3", ["de", "ja"])],
+        "model string, supported array<string>",
+    )
+    got = {r["model"]: r["keep"]
+           for r in catalog.lang_pair_sync(models, "en", "de").collect()}
+    assert got == {"m1": True, "m2": False, "m3": False}

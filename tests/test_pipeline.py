@@ -144,6 +144,45 @@ def test_metrics_lineage_rows(spark, pages, tmp_path):
     }
 
 
+def test_open_warehouse_dispatch(spark, tmp_path):
+    """The factory returns the parquet emulation when no Iceberg catalog is
+    configured (this container), the Iceberg branch when one is."""
+    from ocr_translate_spark.io.tables import (
+        IcebergWarehouse,
+        iceberg_available,
+        open_warehouse,
+    )
+
+    wh = open_warehouse(spark, str(tmp_path / "wh"))
+    if iceberg_available(spark):  # pragma: no cover - needs Iceberg jars
+        assert isinstance(wh, IcebergWarehouse)
+    else:
+        assert isinstance(wh, Warehouse)
+        # read_staged must see a staged-but-uncommitted handle
+        df = spark.range(3).toDF("x")
+        handle = wh.stage(df, "t")
+        assert wh.read_staged(spark, handle).count() == 3
+        assert wh.current_snapshot_id() == 0  # still uncommitted
+
+
+def test_iceberg_warehouse_roundtrip(spark, tmp_path):
+    """Live Iceberg branch: stage -> commit (ledger last) -> read.  Runs
+    only where an Iceberg catalog is configured; the parquet emulation
+    covers the identical contract in this container."""
+    from ocr_translate_spark.io.tables import IcebergWarehouse, iceberg_available
+
+    if not iceberg_available(spark):
+        pytest.skip("no Iceberg catalog configured in this container")
+    wh = IcebergWarehouse(spark, "wh_test")  # pragma: no cover
+    df = spark.range(5).toDF("x")
+    staged = {"extracted": [wh.stage(df, "extracted")],
+              "runs": [wh.stage(df, "runs")]}
+    snap = wh.commit(staged)
+    assert snap > 0
+    assert wh.read(spark, "extracted").count() == 5
+    assert wh.read(spark, "runs").count() == 5
+
+
 def test_runs_ledger_schema(spark, pages, tmp_path):
     root = str(tmp_path / "wh")
     run_extraction(spark, pages, root)
@@ -237,3 +276,15 @@ def test_options_thresholds_reach_kernel():
     )
     assert extract_html(linky, max_link_density=0.9).n_kept == 1
     assert extract_html(linky, max_link_density=0.1).n_kept == 0
+
+
+def test_options_hash_canonicalization():
+    """Default-valued fields never enter the cache key: adding a future
+    option with a default cannot invalidate existing ledger entries."""
+    import hashlib
+
+    base = ExtractOptions()
+    assert base.options_hash() == ExtractOptions(granularity="merged").options_hash()
+    assert base.options_hash() != ExtractOptions(granularity="single").options_hash()
+    # the default key is the hash of the empty delta — stable forever
+    assert base.options_hash() == hashlib.sha256(b"{}").hexdigest()[:16]

@@ -98,33 +98,40 @@ def run_extraction(
     staged_df = extract_pages(todo, options=options, repartition=repartition)
     data_dir = wh.stage(staged_df, "extracted")
 
-    # derive ledger + lineage from the files actually written (single
-    # compute pass; the read-back is columnar and cheap).  The metrics
-    # aggregate is tiny (one row per partition): collect it once and reuse
-    # it for both the row count and the metrics table — one action instead
-    # of three over the staged files.
+    # derive ledger + lineage from the files actually written (exact and
+    # retry-safe: only committed task output counts, unlike accumulators).
+    # The ledger keys + lineage columns are projected once and cached so
+    # the metrics aggregate and the runs staging share a SINGLE columnar
+    # scan of the staged files — the payload column is never re-read.
     written = wh.read_staged(spark, data_dir)
-    metrics_rows = partition_metrics(written, run_id).collect()
-    n_written = sum(r["row_count"] for r in metrics_rows)
-    if n_written == 0:
-        return {
-            "run_id": run_id,
-            "snapshot_id": wh.current_snapshot_id(),
-            "n_written": 0,
+    slim = written.select(
+        "url", "extractor_version", "options_hash", "text_hash",
+        *_LINEAGE_COLS, "bytes_in",
+    ).persist()
+    try:
+        metrics_rows = partition_metrics(slim, run_id).collect()
+        n_written = sum(r["row_count"] for r in metrics_rows)
+        if n_written == 0:
+            return {
+                "run_id": run_id,
+                "snapshot_id": wh.current_snapshot_id(),
+                "n_written": 0,
+            }
+
+        snapshot_id = wh.current_snapshot_id() + 1
+        runs_new = slim.select(
+            "url", "extractor_version", "options_hash", "text_hash"
+        ).withColumn("snapshot_id", F.lit(snapshot_id))
+        metrics_new = spark.createDataFrame(metrics_rows, schema=METRICS)
+
+        staged = {
+            "extracted": [data_dir],
+            "runs": [wh.stage(runs_new, "runs")],
+            "metrics": [wh.stage(metrics_new, "metrics")],
         }
-
-    snapshot_id = wh.current_snapshot_id() + 1
-    runs_new = written.select(
-        "url", "extractor_version", "options_hash", "text_hash"
-    ).withColumn("snapshot_id", F.lit(snapshot_id))
-    metrics_new = spark.createDataFrame(metrics_rows, schema=METRICS)
-
-    staged = {
-        "extracted": [data_dir],
-        "runs": [wh.stage(runs_new, "runs")],
-        "metrics": [wh.stage(metrics_new, "metrics")],
-    }
-    committed = wh.commit(staged)
+        committed = wh.commit(staged)
+    finally:
+        slim.unpersist()
     return {"run_id": run_id, "snapshot_id": committed, "n_written": n_written}
 
 

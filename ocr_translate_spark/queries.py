@@ -484,6 +484,33 @@ def q_suppliers_per_nation_having(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/A1 over the region dimension: broadcast dim join + group count
+    (the reference's catalog joins its tiny language/model dims the same
+    way, ref base.py:72-89)."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_nations"))
+        .orderBy("r_name")
+    )
+
+
+def q_part_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/O1 over part: top part types by count (deterministic top-10)."""
+    part = load(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.col("p_type"))
+        .limit(10)
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregation; money in DECIMAL(18,2) for exactness."""
     li = load(spark, sf_dir, "lineitem")
@@ -722,6 +749,8 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_counts": q_customer_order_counts,
     "nations_without_suppliers": q_nations_without_suppliers,
     "suppliers_per_nation_having": q_suppliers_per_nation_having,
+    "nations_per_region": q_nations_per_region,
+    "part_type_counts": q_part_type_counts,
     "pricing_summary": q_pricing_summary,
     "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
     "image_metadata": q_image_metadata,
@@ -975,6 +1004,15 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, "
         "CAST(count(*) AS BIGINT) AS n FROM supplier "
         "GROUP BY s_nationkey HAVING count(*) > 3"
+    ),
+    "nations_per_region": (
+        "SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name ORDER BY r_name"
+    ),
+    "part_type_counts": (
+        "SELECT p_type, CAST(count(*) AS BIGINT) AS n FROM part "
+        "GROUP BY p_type ORDER BY n DESC, p_type LIMIT 10"
     ),
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,

@@ -130,77 +130,7 @@ def _finalize_text(parts: list[str]) -> str:
     return _htmlmod.unescape(out) if "&" in out else out
 
 
-class _Tokenizer:
-    """Single-pass incremental tokenizer over one HTML byte buffer."""
-
-    __slots__ = ("buf", "pos", "n", "_lower")
-
-    def __init__(self, buf: bytes):
-        self.buf = buf
-        self.pos = 0
-        self.n = len(buf)
-        self._lower: bytes | None = None  # lazily lowered once, reused
-
-    def _lowered(self) -> bytes:
-        if self._lower is None:
-            self._lower = self.buf.lower()
-        return self._lower
-
-    def tokens(self):
-        """Yield ('text', str) | ('open', name, selfclosing) | ('close', name)."""
-        buf, n = self.buf, self.n
-        names = _TAG_NAME_CACHE
-        pos = self.pos
-        while pos < n:
-            lt = buf.find(b"<", pos)
-            if lt < 0:
-                yield ("text", buf[pos:].decode("utf-8", "replace"))
-                break
-            if lt > pos:
-                yield ("text", buf[pos: lt].decode("utf-8", "replace"))
-            c = buf[lt + 1] if lt + 1 < n else 0
-            if c == 0x21:  # '!': comment or doctype
-                if buf.startswith(b"<!--", lt):
-                    end = buf.find(b"-->", lt + 4)
-                    pos = n if end < 0 else end + 3
-                else:
-                    end = buf.find(b">", lt)
-                    pos = n if end < 0 else end + 1
-                continue
-            if c == 0x3F:  # '?': processing instruction
-                end = buf.find(b">", lt)
-                pos = n if end < 0 else end + 1
-                continue
-            closing = c == 0x2F  # '/'
-            m = _TAG_NAME_RE.match(buf, lt + (2 if closing else 1))
-            if not m:
-                # stray '<' — emit it as text
-                yield ("text", "<")
-                pos = lt + 1
-                continue
-            raw = m.group(0)
-            name = names.get(raw)
-            if name is None:
-                name = raw.decode("ascii").lower()
-                if len(names) < 4096:
-                    names[raw] = name
-            end = buf.find(b">", m.end())
-            if end < 0:
-                pos = n
-                break
-            pos = end + 1
-            if closing:
-                yield ("close", name)
-            else:
-                selfclosing = buf[end - 1] == 0x2F
-                yield ("open", name, selfclosing)
-                if name in SKIP_CONTENT_TAGS and not selfclosing:
-                    self.pos = pos
-                    close_pat = b"</" + name.encode() + b">"
-                    idx = self._lowered().find(close_pat, pos)
-                    pos = n if idx < 0 else idx + len(close_pat)
-                    yield ("close", name)
-        self.pos = pos
+_HEADING_TAGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
 
 
 def extract_html(
@@ -208,7 +138,13 @@ def extract_html(
     max_link_density: float = MAX_LINK_DENSITY_DEFAULT,
     min_content_chars: int = MIN_CONTENT_CHARS,
 ) -> ExtractResult:
-    """Extract main-content text + block spans from one HTML byte buffer."""
+    """Extract main-content text + block spans from one HTML byte buffer.
+
+    The tag scan is fused into this function (a prior version yielded
+    ('text'|'open'|'close', ...) tuples from a generator; the tuple/yield
+    machinery alone was ~1/3 of kernel time at ~220 tokens/page).  Golden
+    tests pin the output byte-identically across the rewrite.
+    """
     blocks: list[Block] = []
     parts: list[str] = []
     link_chars = 0
@@ -225,9 +161,9 @@ def extract_html(
 
     def flush():
         nonlocal parts, link_chars, raw_chars, n_tags
-        if raw_chars or parts:
-            text = _finalize_text(parts)
-            blk = Block(
+        text = _finalize_text(parts)
+        if text:
+            blocks.append(Block(
                 text=text,
                 chars=len(text),
                 link_chars=min(link_chars, len(text)),
@@ -236,37 +172,85 @@ def extract_html(
                 neg_depth=neg_depth,
                 tag=cur_tag,
                 is_heading=heading,
-            )
-            if blk.text:
-                blocks.append(blk)
+            ))
         parts, link_chars, raw_chars, n_tags = [], 0, 0, 0
 
-    for tok in _Tokenizer(data).tokens():
-        kind = tok[0]
-        if kind == "text":
-            txt = tok[1]
+    buf = data
+    n = len(buf)
+    pos = 0
+    lowered: bytes | None = None
+    names = _TAG_NAME_CACHE
+    tag_match = _TAG_NAME_RE.match
+    find = buf.find
+
+    while pos < n:
+        lt = find(b"<", pos)
+        # ---- text segment before the tag (or the tail) ----
+        if lt != pos:
+            seg = buf[pos:] if lt < 0 else buf[pos:lt]
+            txt = seg.decode("utf-8", "replace")
             if title_depth > 0:
                 title_parts.append(txt)
-                continue
-            if head_depth > 0:
-                continue
-            stripped_len = len(txt.strip())
-            if stripped_len or parts:
-                parts.append(txt)
-                raw_chars += stripped_len
-                if link_depth > 0:
-                    link_chars += stripped_len
+            elif head_depth == 0:
+                stripped_len = len(txt.strip())
+                if stripped_len or parts:
+                    parts.append(txt)
+                    raw_chars += stripped_len
+                    if link_depth > 0:
+                        link_chars += stripped_len
+            if lt < 0:
+                pos = n
+                break
+        # ---- tag ----
+        c = buf[lt + 1] if lt + 1 < n else 0
+        if c == 0x21:  # '!': comment or doctype
+            if buf.startswith(b"<!--", lt):
+                end = find(b"-->", lt + 4)
+                pos = n if end < 0 else end + 3
+            else:
+                end = find(b">", lt)
+                pos = n if end < 0 else end + 1
             continue
-        name = tok[1]
-        if kind == "open":
-            selfclosing = tok[2]
+        if c == 0x3F:  # '?': processing instruction
+            end = find(b">", lt)
+            pos = n if end < 0 else end + 1
+            continue
+        closing = c == 0x2F  # '/'
+        m = tag_match(buf, lt + (2 if closing else 1))
+        if not m:
+            # stray '<' — treat it as text
+            if title_depth > 0:
+                title_parts.append("<")
+            elif head_depth == 0:
+                parts.append("<")
+                raw_chars += 1
+                if link_depth > 0:
+                    link_chars += 1
+            pos = lt + 1
+            continue
+        raw = m.group(0)
+        name = names.get(raw)
+        if name is None:
+            name = raw.decode("ascii").lower()
+            if len(names) < 4096:
+                names[raw] = name
+        end = find(b">", m.end())
+        if end < 0:
+            pos = n
+            break
+        pos = end + 1
+        if not closing:
             if name == "br":
                 parts.append("\n")
                 continue
+            selfclosing = buf[end - 1] == 0x2F
             if name in BLOCK_TAGS:
-                flush()
+                if raw_chars or parts:
+                    flush()
+                else:
+                    link_chars = n_tags = 0
                 cur_tag = name
-                heading = name in ("h1", "h2", "h3", "h4", "h5", "h6")
+                heading = name in _HEADING_TAGS
                 if not selfclosing:
                     if name in POSITIVE_CONTAINERS:
                         pos_depth += 1
@@ -280,9 +264,18 @@ def extract_html(
                 n_tags += 1
                 if name == "a" and not selfclosing:
                     link_depth += 1
+                if name in SKIP_CONTENT_TAGS and not selfclosing:
+                    if lowered is None:
+                        lowered = buf.lower()
+                    close_pat = b"</" + name.encode() + b">"
+                    idx = lowered.find(close_pat, pos)
+                    pos = n if idx < 0 else idx + len(close_pat)
         else:  # close
             if name in BLOCK_TAGS:
-                flush()
+                if raw_chars or parts:
+                    flush()
+                else:
+                    link_chars = n_tags = 0
                 if name in POSITIVE_CONTAINERS:
                     pos_depth = max(0, pos_depth - 1)
                 elif name in NEGATIVE_CONTAINERS:
@@ -295,7 +288,8 @@ def extract_html(
                 cur_tag = ""
             elif name == "a":
                 link_depth = max(0, link_depth - 1)
-    flush()
+    if raw_chars or parts:
+        flush()
 
     kept_texts: list[str] = []
     spans: list[tuple[int, int]] = []

@@ -95,17 +95,33 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard: (id_a, id_b, jaccard).
 
     Shingle equi-join prunes the pair space: only documents sharing at
     least one shingle are compared.  At 100 TB the shingle join is the
-    shuffle; hot shingles should be pre-filtered by document frequency
-    (a stopword-gram hitting every doc makes the join quadratic) — see
-    ``max_shingle_df``.
+    shuffle, and a hot shingle (a stopword-gram hitting k docs) emits
+    O(k^2) join rows — ``max_shingle_df`` drops shingles whose document
+    frequency exceeds the cap BEFORE the self-join.
+
+    Semantics under the cap: set sizes stay exact (taken pre-filter), the
+    shared count is computed over surviving shingles only, so reported
+    jaccard is a LOWER BOUND and pairs that share exclusively-hot shingles
+    are missed — the standard web-dedup trade (hot shingles carry no
+    near-dup signal; threshold >= 0.5 pairs share many rare shingles).
+    ``None`` = exact (no cap).
     """
     sh = word_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
 
     a = sh.alias("a")
     b = sh.alias("b")

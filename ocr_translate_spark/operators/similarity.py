@@ -219,6 +219,121 @@ def lsh_topk(
     )
 
 
+def _spherical_kmeans(sample: np.ndarray, n_cells: int, seed: int, iters: int) -> np.ndarray:
+    """Seeded spherical k-means on a bounded driver-side sample — the IVF
+    coarse quantizer.  Deterministic: seeded init, fixed iteration count,
+    argmax ties resolved by lowest index (numpy argmax semantics)."""
+    norms = np.sqrt(_ordered_dot(sample, sample))
+    pts = sample / np.maximum(norms, 1e-12)[:, None]
+    rng = np.random.RandomState(seed)
+    centroids = pts[rng.choice(len(pts), size=min(n_cells, len(pts)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(pts @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = pts[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = float(np.sqrt(m @ m))
+                if nrm > 1e-12:
+                    centroids[c] = m / nrm
+    return centroids
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 7,
+    sample_size: int = 2048,
+    iters: int = 8,
+) -> np.ndarray:
+    """(n_cells, d) unit centroids from a bounded, deterministic sample
+    (orderBy(id).limit = a distributed top-k read, never a full sort)."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    sample = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    return _spherical_kmeans(sample, n_cells, seed, iters)
+
+
+def _assign_cells(
+    df: DataFrame, centroids: np.ndarray, vec_col: str, n_probe: int
+) -> DataFrame:
+    """Attach ``cells array<long>``: the ``n_probe`` nearest coarse cells
+    per row (1 for corpus rows, >1 for query probes).  One Arrow pass,
+    batch matmul against the (tiny) centroid matrix in the closure."""
+    cts = centroids
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _stack(pdf[vec_col])
+            norms = np.sqrt(_ordered_dot(mat, mat))
+            unit = mat / np.maximum(norms, 1e-12)[:, None]
+            sims = unit @ cts.T
+            # argsort desc, ties by lower cell id (stable on -sims)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            out = pdf.copy()
+            out["cells"] = list(order.astype(np.int64))
+            yield out
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(assign, schema=f"{fields}, cells array<long>")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse k-means cells prune
+    the corpus, exact cosine re-ranks inside the probed cells.
+
+    The scale anatomy: training is a bounded driver-side sample (the
+    classic IVF coarse quantizer — centroids are a tiny dimension);
+    everything O(corpus) is distributed — cell assignment is one Arrow
+    matmul pass, candidates meet in a cell equi-join (query side
+    broadcast), and only ~|corpus|·n_probe/n_cells pairs are scored.
+    Pass precomputed ``centroids`` to reuse a trained quantizer across
+    queries (the production pattern: train once, probe many)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, id_col, vec_col, n_cells=n_cells, seed=seed
+        )
+    c = _assign_cells(with_norm(corpus, vec_col), centroids, vec_col, 1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.col("_norm").alias("_cnorm"),
+        F.col("cells")[0].alias("cell"),
+    )
+    q = _assign_cells(with_norm(queries, vec_col), centroids, vec_col, n_probe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+        F.explode("cells").alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            dot_udf(F.col("_cvec"), F.col("_qvec")) / (F.col("_cnorm") * F.col("_qnorm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -105,6 +105,28 @@ def rolling_fingerprint(text: Column, window: int = 8) -> Column:
     return F.array_min(grams)
 
 
+def repetition_stats(df, id_col: str, text_col: str):
+    """Gopher-style repetition signals per doc: ``distinct_ratio``
+    (|distinct words| / |words|) and ``top_word_share`` (most frequent
+    word's share) — the standard filters for template/spam pages whose
+    text is one phrase repeated.  Two JVM-side aggregations (explode ->
+    per-(doc,word) count -> per-doc roll-up); ratios are exact IEEE
+    divisions of integer counts, so the DuckDB oracle matches bit-for-bit.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda x: x != F.lit("")
+    )
+    wc = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return wc.groupBy("doc_id").agg(
+        (F.count("*").cast("double") / F.sum("cnt").cast("double")).alias("distinct_ratio"),
+        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias("top_word_share"),
+    )
+
+
 def rolling_fingerprint_portable(text: Column, window: int = 8) -> Column:
     """Same winnowing structure with a portable gram hash — the first 15
     hex digits of md5 as a 60-bit integer — computable identically in

@@ -209,6 +209,13 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: distinct-word ratio + top-word
+    share per doc (template/spam page signal)."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.repetition_stats(docs, "doc_id", "text")
+
+
 def q_common_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary histogram: explode tokens, top-20 by count."""
     docs = load(spark, sf_dir, "documents")
@@ -347,6 +354,14 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_topk(emb, queries, k=5, n_planes=6)
+
+
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN — rows-only (k-means cells not in SQL);
+    recall floor vs brute force asserted in pytest."""
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
 
 
 # ---------------------------------------------------------------------
@@ -730,6 +745,7 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "fingerprint": q_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
+    "repetition_stats": q_repetition_stats,
     "common_words": q_common_words,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
@@ -738,6 +754,7 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
     "manual_override": q_manual_override,
     "lazy_semi": q_lazy_semi,
     "ranked_sources": q_ranked_sources,
@@ -834,6 +851,16 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
         "FROM documents"
     ),
+    "repetition_stats": f"""
+        WITH wc AS (
+          SELECT doc_id, word, count(*) AS cnt FROM (
+            SELECT doc_id, unnest({_WORDS}) AS word FROM documents)
+          GROUP BY doc_id, word)
+        SELECT doc_id,
+          CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS distinct_ratio,
+          CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_word_share
+        FROM wc GROUP BY doc_id
+    """,
     "common_words": f"""
         SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
           SELECT unnest({_WORDS}) AS word FROM documents)

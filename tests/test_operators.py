@@ -344,3 +344,49 @@ def test_lang_pair_sync(spark):
     got = {r["model"]: r["keep"]
            for r in catalog.lang_pair_sync(models, "en", "de").collect()}
     assert got == {"m1": True, "m2": False, "m3": False}
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    """max_shingle_df drops quadratic-blowup shingles; planted near-dup
+    pairs still surface through their rare shingles."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    hot = "common gram here"  # shared by EVERY doc -> df = n_docs
+    rows = [(i, f"{hot} doc{i} " + " ".join(f"w{i}_{j}" for j in range(20)))
+            for i in range(1, 21)]
+    rows += [(100, f"{hot} {base}"), (101, f"{hot} {base}")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    capped = dedup.jaccard_pairs(df, "id", "text", n=3, threshold=0.5,
+                                 max_shingle_df=4)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert (100, 101) in pairs          # dup pair found via rare shingles
+    assert all(p == (100, 101) for p in pairs)  # hot-gram pairs pruned
+    # exact form still finds the dup with jaccard 1.0
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.jaccard_pairs(df, "id", "text", n=3,
+                                          threshold=0.99).collect()}
+    assert exact[(100, 101)] == 1.0
+    # capped jaccard is a lower bound of the exact one
+    assert pairs[(100, 101)] <= exact[(100, 101)]
+
+
+def test_ivf_topk_recall_and_determinism(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    a = similarity.ivf_topk(embeddings, queries, k=3, n_cells=8, n_probe=3)
+    b = similarity.ivf_topk(embeddings, queries, k=3, n_cells=8, n_probe=3)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and ra  # deterministic + non-empty
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(embeddings, queries, k=25).collect()
+    }
+    hits = sum(1 for (q, n, _, _) in ra if (q, n) in brute)
+    assert hits / len(ra) >= 0.6  # probed-cell results are real neighbors
+
+
+def test_ivf_full_probe_equals_brute_force(spark, embeddings):
+    """Probing EVERY cell makes IVF exact — must equal brute force."""
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    ivf = similarity.ivf_topk(embeddings, queries, k=3, n_cells=4, n_probe=4)
+    brute = similarity.brute_force_topk(embeddings, queries, k=3)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, brute.collect()))

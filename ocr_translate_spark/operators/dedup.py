@@ -210,8 +210,15 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).filter(
-        F.col("sig").isNotNull()
+    # materialize signatures once: the banded self-join + the two
+    # signature re-joins otherwise re-run the Arrow signature UDF in every
+    # branch (4x per doc, 6x counting the null filter).  persist() swaps
+    # an InMemoryRelation into all occurrences; at warehouse scale the
+    # equivalent is writing the (tiny, 32x8B/doc) signature table once.
+    sigs = (
+        minhash_signatures(df, id_col, text_col, n, num_hashes)
+        .filter(F.col("sig").isNotNull())
+        .persist()
     )
 
     # band table carries (id, band, bucket) ONLY — the 32-slot signature
@@ -336,8 +343,12 @@ def simhash_near_dups(
     leave at least one quarter identical), so candidate generation is an
     equi-join, not a cross join.
     """
-    sigs = simhash_signatures(df, id_col, text_col).filter(
-        F.col("simhash").isNotNull()
+    # materialized once for the same reason as the MinHash banding: the
+    # quarter self-join would re-run the signature UDF per branch
+    sigs = (
+        simhash_signatures(df, id_col, text_col)
+        .filter(F.col("simhash").isNotNull())
+        .persist()
     )
     quarters = sigs.select(
         "id",

@@ -351,9 +351,11 @@ def embedding_near_dups(
     MinHash banding).  ``n_tables`` > 1 ORs independent plane sets for
     higher recall near the threshold.
     """
+    # materialized once: the bucket explode + the two vector re-joins
+    # would otherwise re-run the norm UDF and the scan per branch
     base = with_norm(df, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), F.col("_norm").alias("_n")
-    )
+    ).persist()
     bucketed = add_lsh_buckets(base.select("id", F.col("_v").alias(vec_col)),
                                vec_col, n_planes, seed, n_tables)
     flat = bucketed.select("id", F.explode("buckets").alias("bucket"))

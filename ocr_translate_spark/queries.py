@@ -702,6 +702,66 @@ def q_reading_order_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assembled
 
 
+def q_enrich_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: batched enrichment over an Arrow stage (ref models/tsl.py:189-214
+    batch contract) — the deterministic stand-in model tags each text with
+    its language pair, so the oracle can replay it in SQL."""
+    from .operators.enrich import enrich_text
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = enrich_text(docs, "text", "lang", "en")
+    return out.select("doc_id", "enriched_text")
+
+
+_AUTOCOMPLETE_PREFIXES = ("s", "c", "m", "b")
+
+
+def q_trie_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14/O3: autocomplete — top-10 vocabulary completions per prefix by
+    frequency (ref trie.py:111-152).  The Spark side is the relational
+    formulation (prefix join + windowed top-k); the trie kernel runs on the
+    collected vocab inside this function and MUST agree with the Spark
+    result (asserted here, so the driver's hash gate certifies the trie
+    kernel too)."""
+    from .kernels.trie import Trie
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+", -1), lambda x: x != F.lit("")
+    )
+    vocab = (
+        docs.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pref = spark.createDataFrame(
+        [(p,) for p in _AUTOCOMPLETE_PREFIXES], "prefix string"
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("freq"), F.col("word"))
+    out = (
+        vocab.join(F.broadcast(pref), F.col("word").startswith(F.col("prefix")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("prefix", "word", F.col("freq").cast("long").alias("freq"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+    # kernel parity: trie.autocomplete must reproduce the Spark top-k
+    rows = vocab.collect()
+    freqs = {r["word"]: r["freq"] for r in rows}
+    trie = Trie.from_rows([(r["word"], float(r["freq"])) for r in rows])
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["prefix"], []).append(r["word"])
+    for p in _AUTOCOMPLETE_PREFIXES:
+        kernel = sorted(trie.autocomplete(p), key=lambda x: (-freqs[x], x))[:10]
+        if got.get(p, []) != kernel:
+            raise AssertionError(
+                f"trie.autocomplete({p!r}) diverged from the relational "
+                f"formulation: {kernel} vs {got.get(p)}"
+            )
+    return out
+
+
 def q_restore_spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6: trie-based missing-space repair via broadcast trie + Arrow UDF
     (ref models/tsl.py:156-174).  Dictionary = the corpus vocabulary; input
@@ -776,6 +836,8 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "base64_ingest": q_base64_ingest,
     "lang_code_map": q_lang_code_map,
     "reading_order_sql": q_reading_order_sql,
+    "enrich_text": q_enrich_text,
+    "trie_autocomplete": q_trie_autocomplete,
     "restore_spaces": q_restore_spaces,
 }
 
@@ -961,6 +1023,21 @@ ORACLE_SQL: dict[str, str] = {
             i -> CAST(('0x' || substr(md5(array_to_string(words[i+1:i+8], ' ')),
                        1, 15)) AS BIGINT))) AS rfp
         FROM w
+    """,
+    "enrich_text": (
+        "SELECT doc_id, '[' || lang || '->en] ' || text AS enriched_text "
+        "FROM documents"
+    ),
+    "trie_autocomplete": f"""
+        WITH v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest({_WORDS}) AS word FROM documents) GROUP BY word),
+        p AS (SELECT unnest(['s','c','m','b']) AS prefix),
+        j AS (SELECT prefix, word, freq,
+                row_number() OVER (PARTITION BY prefix
+                  ORDER BY freq DESC, word) AS rank
+              FROM v JOIN p ON v.word LIKE p.prefix || '%')
+        SELECT prefix, word, freq, CAST(rank AS BIGINT) AS rank
+        FROM j WHERE rank <= 10
     """,
     "restore_spaces": r"""
         WITH w AS (SELECT doc_id, list_filter(

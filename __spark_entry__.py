@@ -32,7 +32,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible
-    ops: xxhash64-based MinHash/SimHash/rolling fingerprints, numpy LSH
-    planes, synthetic-corpus extraction — driver records rows-only)."""
+    """DuckDB-equivalent SQL per query.  Omitted only for the 3 queries
+    whose physical inputs SQL cannot reproduce (extract_corpus: the
+    synthetic page generator runs Spark-side; embedding_lsh_topk /
+    embedding_ivf_topk: numpy hyperplanes / k-means cells) — those carry
+    recall/exactness pytests instead.  MinHash/SimHash are oracled via
+    the candidates->exact-verify shape (set/multiset-equality grouping);
+    rolling fingerprints via a portable md5 gram hash."""
     return dict(ORACLE_SQL)

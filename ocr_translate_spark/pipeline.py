@@ -99,10 +99,14 @@ def run_extraction(
     data_dir = wh.stage(staged_df, "extracted")
 
     # derive ledger + lineage from the files actually written (exact and
-    # retry-safe: only committed task output counts, unlike accumulators).
+    # retry-safe: only committed task output counts, unlike accumulators,
+    # which are at-least-once under task retry).
     # The ledger keys + lineage columns are projected once and cached so
     # the metrics aggregate and the runs staging share a SINGLE columnar
     # scan of the staged files — the payload column is never re-read.
+    # Scale note: MEMORY_AND_DISK on the slim projection is at worst
+    # cost-neutral at 10^12 rows (a spill write ≈ the second columnar
+    # scan it replaces) and a clear win whenever the run fits memory.
     written = wh.read_staged(spark, data_dir)
     slim = written.select(
         "url", "extractor_version", "options_hash", "text_hash",

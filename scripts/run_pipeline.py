@@ -23,7 +23,9 @@ import time
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True,
-                    help="pages table path, or synthetic:N for the generated corpus")
+                    help="pages parquet path, table:<catalog table name> "
+                         "(Iceberg when the runtime has a catalog), or "
+                         "synthetic:N for the generated corpus")
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--repartition", type=int, default=None)
     ap.add_argument("--force", action="store_true")
@@ -50,6 +52,9 @@ def main() -> int:
         corpus_dir = tempfile.mkdtemp(prefix="pipeline_pages_") + "/pages"
         pages_df(spark, n, partitions=parts).write.parquet(corpus_dir)
         pages = spark.read.parquet(corpus_dir)
+    elif args.pages.startswith("table:"):
+        # catalog table (Iceberg on a configured cluster)
+        pages = spark.table(args.pages.split(":", 1)[1])
     else:
         pages = spark.read.parquet(args.pages)
 

@@ -98,17 +98,17 @@ def _burn(_):
     return x
 
 
-def measure_cpu_ceiling() -> dict[int, float]:
+def measure_cpu_ceiling(levels: tuple[int, ...] = (1, 4, 16, 32)) -> dict[int, float]:
     """Raw multiprocessing burn test: effective parallel speedup of this
-    box at 1/N/4N procs.  The sandbox VM is host-overcommitted (nproc=32
-    but ~18x single-core throughput at 32 procs), so the honest N/4N pair
-    must sit under the ceiling."""
+    box at the given proc counts.  The sandbox VM is host-overcommitted
+    (nproc=32 but ~18x single-core throughput at 32 procs), so the honest
+    N/4N pair must sit under the ceiling."""
     import multiprocessing as mp
 
     burn = _burn
     out: dict[int, float] = {}
     base = None
-    for n in (1, 4, 16, 32):
+    for n in levels:
         with mp.Pool(n) as pool:
             total = sum(pool.map(burn, range(n)))
         if base is None:
@@ -132,10 +132,11 @@ def main() -> int:
     corpus = materialize_corpus(args.pages)
     best = None
     for _attempt in range(args.attempts):
-        ceil_before = measure_cpu_ceiling()
+        levels = tuple(sorted({1, args.n, args.n * 4, 32}))
+        ceil_before = measure_cpu_ceiling(levels)
         lo = run_once(args.n, corpus, pyfiles)
         hi = run_once(args.n * 4, corpus, pyfiles)
-        ceil_after = measure_cpu_ceiling()
+        ceil_after = measure_cpu_ceiling(levels)
         r_lo, r_hi = lo["docs_per_sec"], hi["docs_per_sec"]
         eff = r_hi / (4 * r_lo)
         # what a perfectly-scaling job could reach on this box right now

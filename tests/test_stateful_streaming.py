@@ -86,3 +86,37 @@ def test_dedup_stream_first_wins_across_batches(spark, events_pdf, tmp_path):
     ids = [r["event_id"] for r in rows]
     assert sorted(ids) == sorted(set(head["event_id"]))
     assert len(ids) == len(set(ids)) == 60
+
+
+def test_streaming_extraction_matches_batch_and_is_idempotent(spark, tmp_path):
+    """The flagship pipeline as a stream: chunked pages replay through
+    foreachBatch into the same warehouse; results are byte-identical to
+    the batch run and re-streaming commits nothing (ledger memoization
+    across micro-batches)."""
+    from pyspark.sql import functions as F
+
+    from ocr_translate_spark.corpus import pages_df
+    from ocr_translate_spark.pipeline import read_extracted
+    from ocr_translate_spark.streaming.extract_stream import run_extraction_stream
+
+    pages_dir = str(tmp_path / "pages")
+    pages = pages_df(spark, 48, partitions=3)
+    pages.write.parquet(pages_dir)  # 3 files -> 3 micro-batches
+
+    wh = str(tmp_path / "wh")
+    stats = run_extraction_stream(spark, pages_dir, wh, repartition=2)
+    assert sum(s["n_written"] for s in stats) == 48
+    assert len([s for s in stats if s["n_written"]]) >= 2  # really incremental
+
+    got = read_extracted(spark, wh)
+    mism = (
+        got.join(pages.select("url", F.col("text").alias("e")), "url")
+        .filter(F.col("extracted_text") != F.col("e"))
+        .count()
+    )
+    assert got.count() == 48 and mism == 0
+
+    # replay the whole stream from scratch: ledger wins, nothing recomputes
+    stats2 = run_extraction_stream(spark, pages_dir, wh, repartition=2)
+    assert sum(s["n_written"] for s in stats2) == 0
+    assert read_extracted(spark, wh).count() == 48

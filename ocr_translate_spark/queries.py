@@ -762,6 +762,63 @@ def q_trie_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_trie_autocorrect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: autocorrect — distance-1 correction candidates ranked by
+    frequency (ref trie.py:193-303).  The trie kernel's candidate set
+    (substitutions ∪ deletions ∪ insertions, each verified against the
+    dictionary) is by construction the vocabulary at classic Levenshtein
+    distance exactly 1, so the relational formulation is a levenshtein
+    join; the kernel is asserted equal inside the query (like
+    q_trie_autocomplete).  Probes are deterministic corruptions of the
+    3 most frequent words: last char dropped / last char replaced."""
+    from .kernels.trie import Trie
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+", -1), lambda x: x != F.lit("")
+    )
+    vocab = (
+        docs.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    top3 = vocab.orderBy(F.desc("freq"), F.col("word")).limit(3)
+    chop = F.expr("substring(word, 1, length(word) - 1)")
+    probes = top3.select(chop.alias("probe")).union(
+        top3.select(F.concat(chop, F.lit("~")).alias("probe"))
+    )
+    w = Window.partitionBy("probe").orderBy(F.desc("freq"), F.col("word"))
+    out = (
+        vocab.join(
+            F.broadcast(probes), F.levenshtein(F.col("probe"), F.col("word")) == 1
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .select("probe", "word", F.col("freq").cast("long").alias("freq"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+    # kernel parity: the trie's distance-1 candidate machinery must agree
+    rows = vocab.collect()
+    freqs = {r["word"]: r["freq"] for r in rows}
+    trie = Trie.from_rows([(r["word"], float(r["freq"])) for r in rows])
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r["probe"], []).append(r["word"])
+    for r in probes.collect():
+        p = r["probe"]
+        cands = (
+            set(trie.get_all_substitutions(p, 1))
+            | set(trie.get_all_deletions(p, 1))
+            | set(trie.get_all_insertions(p, 1))
+        )
+        kernel = sorted(cands, key=lambda x: (-freqs[x], x))
+        if got.get(p, []) != kernel:
+            raise AssertionError(
+                f"trie distance-1 candidates for {p!r} diverged from the "
+                f"levenshtein join: {kernel} vs {got.get(p)}"
+            )
+    return out
+
+
 def q_restore_spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6: trie-based missing-space repair via broadcast trie + Arrow UDF
     (ref models/tsl.py:156-174).  Dictionary = the corpus vocabulary; input
@@ -838,6 +895,7 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reading_order_sql": q_reading_order_sql,
     "enrich_text": q_enrich_text,
     "trie_autocomplete": q_trie_autocomplete,
+    "trie_autocorrect": q_trie_autocorrect,
     "restore_spaces": q_restore_spaces,
 }
 
@@ -1038,6 +1096,19 @@ ORACLE_SQL: dict[str, str] = {
               FROM v JOIN p ON v.word LIKE p.prefix || '%')
         SELECT prefix, word, freq, CAST(rank AS BIGINT) AS rank
         FROM j WHERE rank <= 10
+    """,
+    "trie_autocorrect": f"""
+        WITH v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest({_WORDS}) AS word FROM documents) GROUP BY word),
+        top3 AS (SELECT word FROM v ORDER BY freq DESC, word LIMIT 3),
+        p AS (SELECT substr(word, 1, length(word)-1) AS probe FROM top3
+              UNION ALL
+              SELECT substr(word, 1, length(word)-1) || '~' FROM top3),
+        j AS (SELECT probe, word, freq,
+                row_number() OVER (PARTITION BY probe
+                  ORDER BY freq DESC, word) AS rank
+              FROM p JOIN v ON levenshtein(p.probe, v.word) = 1)
+        SELECT probe, word, freq, CAST(rank AS BIGINT) AS rank FROM j
     """,
     "restore_spaces": r"""
         WITH w AS (SELECT doc_id, list_filter(

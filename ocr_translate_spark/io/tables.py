@@ -55,28 +55,35 @@ def open_warehouse(spark: SparkSession, root: str):
 
 
 class IcebergWarehouse:
-    """Iceberg-catalog-backed warehouse with the same interface as
-    :class:`Warehouse` (stage / read_staged / commit / write / read).
+    """Iceberg-catalog-backed warehouse with the same interface and the
+    same SNAPSHOT CONTRACT as :class:`Warehouse` (stage / read_staged /
+    commit / write / read with sequential logical snapshot ids).
+
+    Iceberg's own snapshot ids are random per-table longs and there are no
+    cross-table transactions, so the multi-table contract is carried by a
+    tiny ``_snapshot_log`` Iceberg table — the catalog analog of the
+    parquet emulation's manifest files:
 
     * ``stage`` writes to an uncommitted staging table
-      ``<ns>.<table>__stage_<uuid>`` via ``writeTo(...).create()`` — data
-      lands in the catalog but is invisible to readers of the final table.
-    * ``commit`` appends every staged table into its final table with
-      ``writeTo(...).append()`` (an atomic Iceberg snapshot per table) and
-      drops the staging tables.  Iceberg has no cross-table transactions,
-      so multi-table consistency comes from COMMIT ORDER: data tables
-      first, the ``runs`` memo ledger LAST — a crash in between leaves
-      extracted rows with no ledger entry, the re-run re-extracts those
-      urls, and ``read_extracted(latest_only=True)`` collapses the
-      duplicates read-side.  Resume therefore stays idempotent, matching
-      the parquet emulation's guarantee.
-    * ``read(..., snapshot_id=...)`` time-travels via ``VERSION AS OF``.
+      ``<ns>.<table>__stage_<uuid>`` (in the catalog, but no reader
+      resolves it);
+    * ``commit`` appends every staged table into its final table
+      (an atomic Iceberg snapshot each), records each table's resulting
+      Iceberg snapshot id, then publishes ONE log append
+      ``(snapshot_id, table, iceberg_snapshot_id)`` covering all tables —
+      the log append is the single atomic publish point;
+    * ``read`` ALWAYS resolves through the log: it time-travels each
+      table with ``VERSION AS OF`` the Iceberg snapshot the log recorded
+      for the requested (or latest) logical snapshot.  Data appended by a
+      crashed commit is therefore invisible — exactly the parquet
+      emulation's orphan-directory behavior — and logical snapshot ids
+      are sequential ints on both branches.
 
     Exercised only when an Iceberg catalog is configured (tests skip
     otherwise); the emulation covers the contract in this container.
     """
 
-    LEDGER_LAST = ("runs",)
+    LOG_TABLE = "_snapshot_log"
 
     def __init__(self, spark: SparkSession, namespace: str):
         self.spark = spark
@@ -98,9 +105,17 @@ class IcebergWarehouse:
     def read_staged(self, spark: SparkSession, handle: str) -> DataFrame:
         return spark.table(handle)
 
+    def _iceberg_snapshot(self, full: str) -> int:
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {full}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).first()
+        return int(row["snapshot_id"]) if row else 0
+
     def commit(self, staged: dict[str, list[str]]) -> int:
-        ordered = sorted(staged.items(), key=lambda kv: kv[0] in self.LEDGER_LAST)
-        for table, handles in ordered:
+        new_id = self.current_snapshot_id() + 1
+        log_rows = []
+        for table, handles in sorted(staged.items()):
             full = self._full(table)
             for handle in handles:
                 df = self.spark.table(handle)
@@ -109,23 +124,34 @@ class IcebergWarehouse:
                 else:
                     df.writeTo(full).create()
                 self.spark.sql(f"DROP TABLE IF EXISTS {handle}")
-        return self.current_snapshot_id()
+            log_rows.append((new_id, table, self._iceberg_snapshot(full)))
+        log_df = self.spark.createDataFrame(
+            log_rows, "snapshot_id long, table string, iceberg_snapshot_id long"
+        )
+        log_full = self._full(self.LOG_TABLE)
+        if self.spark.catalog.tableExists(log_full):
+            log_df.writeTo(log_full).append()  # the atomic publish point
+        else:
+            log_df.writeTo(log_full).create()
+        return new_id
 
     def write(self, df: DataFrame, table: str) -> int:
         return self.commit({table: [self.stage(df, table)]})
 
     # -- read ------------------------------------------------------------
 
+    def _log(self) -> "DataFrame | None":
+        log_full = self._full(self.LOG_TABLE)
+        if not self.spark.catalog.tableExists(log_full):
+            return None
+        return self.spark.table(log_full)
+
     def current_snapshot_id(self) -> int:
-        """Snapshot id of the runs ledger (the commit-order anchor)."""
-        full = self._full("runs")
-        if not self.spark.catalog.tableExists(full):
+        log = self._log()
+        if log is None:
             return 0
-        row = self.spark.sql(
-            f"SELECT snapshot_id FROM {full}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
-        ).first()
-        return int(row["snapshot_id"]) if row else 0
+        row = log.selectExpr("max(snapshot_id) AS m").first()
+        return int(row["m"]) if row and row["m"] is not None else 0
 
     def read(
         self,
@@ -135,13 +161,23 @@ class IcebergWarehouse:
         snapshot_id: int | None = None,
     ) -> DataFrame:
         full = self._full(table)
-        if not spark.catalog.tableExists(full):
+        log = self._log()
+        row = None
+        if log is not None:
+            snap = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+            row = (
+                log.where(f"table = '{table}' AND snapshot_id <= {snap}")
+                .orderBy("snapshot_id", ascending=False)
+                .first()
+            )
+        if row is None or not spark.catalog.tableExists(full):
             if schema is None:
                 raise ValueError(f"table {table!r} is empty and no schema given")
             return spark.createDataFrame([], schema=schema)
-        if snapshot_id is not None:
-            return spark.read.option("snapshot-id", snapshot_id).table(full)
-        return spark.table(full)
+        return (
+            spark.read.option("snapshot-id", int(row["iceberg_snapshot_id"]))
+            .table(full)
+        )
 
 
 class Warehouse:

@@ -184,10 +184,16 @@ def minhash_signatures(
         # would fabricate O(m^2) candidate pairs driven by the sentinel
         return pd.Series([row if ok else None for row, ok in zip(out, nz)])
 
-    # NULL text -> NULL base -> NULL sig (greatest(null,0)/concat_ws would
-    # otherwise smuggle null texts into a shared {""} shingle set)
+    # NULL/zero-word text -> NULL base -> NULL sig.  Without the guard,
+    # greatest(null,0)/concat_ws smuggle null AND whitespace-only texts
+    # into a shared {""} shingle set, whose identical sentinel signatures
+    # would collide every empty doc into the same LSH buckets (O(m^2)
+    # fabricated pairs) and diverge from the len(words)>0 oracle filter.
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda x: x != F.lit("")
+    )
     base = F.when(
-        F.col(text_col).isNotNull(),
+        F.size(words) > 0,
         F.transform(_shingle_array(F.col(text_col), n), lambda x: F.xxhash64(x)),
     )
     return df.select(F.col(id_col).alias("id"), minhash_from_base(base).alias("sig"))
@@ -200,8 +206,16 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH: (id_a, id_b, est_jaccard).
+
+    ``materialize=True`` persists the signature table so the self-join
+    branches share one computation (cache entries are deduplicated by
+    canonical plan, so re-invoking on the same input reuses rather than
+    accumulates; long-lived sessions cycling MANY corpora should either
+    pass False or ``spark.catalog.clearCache()`` between corpora —
+    at warehouse scale, write the signature table once instead).
 
     rows-per-band r = num_hashes/bands; two docs collide when any band of
     their signatures is identical — the classic sub-quadratic web-dedup
@@ -215,11 +229,11 @@ def minhash_lsh_candidates(
     # branch (4x per doc, 6x counting the null filter).  persist() swaps
     # an InMemoryRelation into all occurrences; at warehouse scale the
     # equivalent is writing the (tiny, 32x8B/doc) signature table once.
-    sigs = (
-        minhash_signatures(df, id_col, text_col, n, num_hashes)
-        .filter(F.col("sig").isNotNull())
-        .persist()
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).filter(
+        F.col("sig").isNotNull()
     )
+    if materialize:
+        sigs = sigs.persist()
 
     # band table carries (id, band, bucket) ONLY — the 32-slot signature
     # arrays must not ride the banded self-join shuffle (bands× the payload
@@ -335,7 +349,11 @@ def simhash_signatures(
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with hamming(simhash) <= max_hamming.
 
@@ -345,11 +363,12 @@ def simhash_near_dups(
     """
     # materialized once for the same reason as the MinHash banding: the
     # quarter self-join would re-run the signature UDF per branch
-    sigs = (
-        simhash_signatures(df, id_col, text_col)
-        .filter(F.col("simhash").isNotNull())
-        .persist()
+    # (see minhash_lsh_candidates for the cache-lifecycle notes)
+    sigs = simhash_signatures(df, id_col, text_col).filter(
+        F.col("simhash").isNotNull()
     )
+    if materialize:
+        sigs = sigs.persist()
     quarters = sigs.select(
         "id",
         "simhash",

@@ -158,13 +158,30 @@ def sniff_mp4(data: bytes) -> tuple[str, int] | None:
         while i + 8 <= hi:
             size = struct.unpack(">I", data[i : i + 4])[0]
             btype = data[i + 4 : i + 8]
-            if size < 8:
+            hdr = 8
+            if size == 1:  # 64-bit extended box size (large files)
+                if i + 16 > hi:
+                    return
+                size = struct.unpack(">Q", data[i + 8 : i + 16])[0]
+                hdr = 16
+            if size < hdr:
                 return
+            body = i + hdr
             if btype == b"moov":
-                walk(i + 8, min(i + size, hi))
-            elif btype == b"mvhd" and i + 28 <= hi:
-                timescale, duration = struct.unpack(">II", data[i + 20 : i + 28])
-                if timescale > 0:
+                walk(body, min(i + size, hi))
+            elif btype == b"mvhd" and body + 1 <= hi:
+                version = data[body]
+                timescale = duration = -1
+                if version == 1 and body + 32 <= hi:
+                    # v1: version/flags(4) ctime(8) mtime(8) ts(4) dur(8)
+                    timescale = struct.unpack(">I", data[body + 20 : body + 24])[0]
+                    duration = struct.unpack(">Q", data[body + 24 : body + 32])[0]
+                elif version == 0 and body + 20 <= hi:
+                    # v0: version/flags(4) ctime(4) mtime(4) ts(4) dur(4)
+                    timescale, duration = struct.unpack(
+                        ">II", data[body + 12 : body + 20]
+                    )
+                if timescale > 0 and duration >= 0:
                     duration_ms = duration * 1000 // timescale
             i += size
 

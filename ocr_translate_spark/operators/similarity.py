@@ -82,8 +82,16 @@ def brute_force_topk(
     window exchange carries ``partitions * |Q| * k`` rows, independent of
     corpus size.  Self-matches are excluded; ties break on neighbor_id.
     """
+    id_dt = corpus.schema[id_col].dataType.simpleString()
+    cand_schema = f"query_id {id_dt}, neighbor_id {id_dt}, cosine double"
     q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{cand_schema}, rank int"
+        )
+    # ids keep their native dtype (numpy infers int64/unicode/object);
+    # only equality + ordering are required of them
+    q_ids = np.array([r[id_col] for r in q_rows])
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt(_ordered_dot(q_mat, q_mat))
 
@@ -107,14 +115,12 @@ def brute_force_topk(
                 order = np.lexsort((c_ids[mask], -col[mask]))[:k]
                 sel = np.flatnonzero(mask)[order]
                 yield pd.DataFrame({
-                    "query_id": np.full(len(sel), q_ids[qi], dtype=np.int64),
+                    "query_id": np.full(len(sel), q_ids[qi]),
                     "neighbor_id": c_ids[sel],
                     "cosine": col[sel],
                 })
 
-    cand = corpus.select(id_col, vec_col).mapInPandas(
-        score, "query_id long, neighbor_id long, cosine double"
-    )
+    cand = corpus.select(id_col, vec_col).mapInPandas(score, cand_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -342,6 +348,7 @@ def embedding_near_dups(
     n_planes: int = 8,
     seed: int = 7,
     n_tables: int = 1,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, LSH-bucketed.
 
@@ -353,9 +360,12 @@ def embedding_near_dups(
     """
     # materialized once: the bucket explode + the two vector re-joins
     # would otherwise re-run the norm UDF and the scan per branch
+    # (see dedup.minhash_lsh_candidates for the cache-lifecycle notes)
     base = with_norm(df, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), F.col("_norm").alias("_n")
-    ).persist()
+    )
+    if materialize:
+        base = base.persist()
     bucketed = add_lsh_buckets(base.select("id", F.col("_v").alias(vec_col)),
                                vec_col, n_planes, seed, n_tables)
     flat = bucketed.select("id", F.explode("buckets").alias("bucket"))

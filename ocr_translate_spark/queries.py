@@ -782,10 +782,18 @@ def q_trie_autocorrect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
-    top3 = vocab.orderBy(F.desc("freq"), F.col("word")).limit(3)
+    top3 = (
+        vocab.filter(F.length("word") >= 2)
+        .orderBy(F.desc("freq"), F.col("word"))
+        .limit(3)
+    )
     chop = F.expr("substring(word, 1, length(word) - 1)")
-    probes = top3.select(chop.alias("probe")).union(
-        top3.select(F.concat(chop, F.lit("~")).alias("probe"))
+    # distinct: two top words differing only in their last char would
+    # otherwise duplicate a probe and double every joined row
+    probes = (
+        top3.select(chop.alias("probe"))
+        .union(top3.select(F.concat(chop, F.lit("~")).alias("probe")))
+        .distinct()
     )
     w = Window.partitionBy("probe").orderBy(F.desc("freq"), F.col("word"))
     out = (
@@ -1100,10 +1108,12 @@ ORACLE_SQL: dict[str, str] = {
     "trie_autocorrect": f"""
         WITH v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
             SELECT unnest({_WORDS}) AS word FROM documents) GROUP BY word),
-        top3 AS (SELECT word FROM v ORDER BY freq DESC, word LIMIT 3),
-        p AS (SELECT substr(word, 1, length(word)-1) AS probe FROM top3
+        top3 AS (SELECT word FROM v WHERE length(word) >= 2
+                 ORDER BY freq DESC, word LIMIT 3),
+        p AS (SELECT DISTINCT probe FROM (
+              SELECT substr(word, 1, length(word)-1) AS probe FROM top3
               UNION ALL
-              SELECT substr(word, 1, length(word)-1) || '~' FROM top3),
+              SELECT substr(word, 1, length(word)-1) || '~' FROM top3)),
         j AS (SELECT probe, word, freq,
                 row_number() OVER (PARTITION BY probe
                   ORDER BY freq DESC, word) AS rank

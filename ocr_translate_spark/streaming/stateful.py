@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -42,10 +43,13 @@ _SESSION_STATE = StructType([
 
 
 def dedup_stream(df: DataFrame, key: str) -> DataFrame:
-    """Keep the first row per ``key`` across ALL micro-batches.
+    """Emit exactly one row per ``key`` across ALL micro-batches.
 
-    Within a batch the first row in arrival order wins; keys already seen
-    in earlier batches emit nothing.  Works on both streaming and batch
+    Keys seen in an earlier micro-batch emit nothing (the cross-batch
+    guarantee carried by keyed state).  WITHIN a micro-batch, which of
+    several duplicate rows represents the key is arbitrary — the groupBy
+    shuffle does not preserve arrival order — exactly the semantics of
+    Spark's own ``dropDuplicates``.  Works on both streaming and batch
     DataFrames (batch = a single micro-batch).
     """
     schema = df.schema
@@ -110,8 +114,13 @@ def sessionize_stream(
             session_start = last_epoch = None
             n_events = 0
         closed: list[tuple] = []
-        for pdf in pdfs:
-            for epoch in pdf["_epoch"].sort_values():
+        # a key's rows can arrive as SEVERAL Arrow chunks in arbitrary
+        # relative order (shuffle + batch splitting): gather the whole
+        # micro-batch for the key, then sort ONCE — per-chunk sorting
+        # would mis-segment sessions whenever a key spans chunks
+        chunks = [pdf["_epoch"].to_numpy() for pdf in pdfs if len(pdf)]
+        if chunks:
+            for epoch in np.sort(np.concatenate(chunks)):
                 epoch = int(epoch)
                 if last_epoch is None:
                     session_start, n_events = epoch, 1

@@ -162,13 +162,15 @@ def test_minhash_banding_pairset_matches_reference(spark, documents):
 def test_empty_docs_get_null_sigs_not_sentinels(spark):
     """Docs with no tokens/shingles must NOT collide into a sentinel LSH
     bucket and fabricate O(m^2) near-dup pairs."""
-    rows = [(i, None) for i in range(1, 6)] + [(10, "real text here")]
+    rows = [(1, None), (2, None), (3, "   "), (4, " \t "), (5, "")] + [
+        (10, "real text here")
+    ]
     df = spark.createDataFrame(rows, "id long, text string")
     assert dedup.minhash_lsh_candidates(df, "id", "text").count() == 0
-    rows2 = [(i, "   ") for i in range(1, 6)] + [(10, "real text here")]
-    df2 = spark.createDataFrame(rows2, "id long, text string")
-    assert dedup.simhash_near_dups(df2, "id", "text").count() == 0
-    sigs = dedup.simhash_signatures(df2, "id", "text").collect()
+    msigs = dedup.minhash_signatures(df, "id", "text").collect()
+    assert all(r["sig"] is None for r in msigs if r["id"] != 10)
+    assert dedup.simhash_near_dups(df, "id", "text").count() == 0
+    sigs = dedup.simhash_signatures(df, "id", "text").collect()
     assert all(r["simhash"] is None for r in sigs if r["id"] != 10)
 
 
@@ -390,3 +392,31 @@ def test_ivf_full_probe_equals_brute_force(spark, embeddings):
     ivf = similarity.ivf_topk(embeddings, queries, k=3, n_cells=4, n_probe=4)
     brute = similarity.brute_force_topk(embeddings, queries, k=3)
     assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_sniff_mp4_version1_mvhd():
+    """mvhd v1 (64-bit times, common for long recordings) parses the
+    shifted timescale/duration offsets instead of reading time bytes."""
+    import struct
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+    mvhd = (
+        struct.pack(">I", 8 + 4 + 8 + 8 + 4 + 8)
+        + b"mvhd" + b"\x01\x00\x00\x00"
+        + struct.pack(">QQ", 0, 0)       # 64-bit ctime/mtime
+        + struct.pack(">I", 1000)        # timescale
+        + struct.pack(">Q", 90_000)      # 64-bit duration -> 90s
+    )
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    assert multimodal.sniff_mp4(ftyp + moov) == ("isom", 90_000)
+
+
+def test_brute_force_topk_string_ids_and_empty_queries(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    got = similarity.brute_force_topk(df, df.filter(F.col("vec_id") == "a"), k=2)
+    rows = sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in got.collect())
+    assert rows == [("a", "b", 1), ("a", "c", 2)]
+    empty = similarity.brute_force_topk(df, df.filter(F.col("vec_id") == "zz"), k=2)
+    assert empty.count() == 0

@@ -178,9 +178,15 @@ def test_iceberg_warehouse_roundtrip(spark, tmp_path):
     staged = {"extracted": [wh.stage(df, "extracted")],
               "runs": [wh.stage(df, "runs")]}
     snap = wh.commit(staged)
-    assert snap > 0
+    assert snap == wh.current_snapshot_id()  # sequential logical ids
     assert wh.read(spark, "extracted").count() == 5
     assert wh.read(spark, "runs").count() == 5
+    snap2 = wh.commit({"extracted": [wh.stage(df, "extracted")]})
+    assert snap2 == snap + 1
+    assert wh.read(spark, "extracted").count() == 10
+    # time travel resolves through the snapshot log, not raw Iceberg ids
+    assert wh.read(spark, "extracted", snapshot_id=snap).count() == 5
+    assert wh.read(spark, "runs", snapshot_id=snap2).count() == 5
 
 
 def test_runs_ledger_schema(spark, pages, tmp_path):

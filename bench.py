@@ -74,6 +74,17 @@ def main() -> int:
         shutil.rmtree(wh, ignore_errors=True)
     timings["extract_pipeline"] = round(extract_sec, 3)
     docs_per_sec = round(stats["n_written"] / extract_sec, 2)
+
+    # zero-shuffle mode: unique-url contract + size-balanced source layout
+    ns_sec = float("inf")
+    for _ in range(max(1, N_REPS)):
+        wh = tempfile.mkdtemp(prefix="bench_whns_")
+        t0 = time.monotonic()
+        ns_stats = run_extraction(spark, pages, wh, assume_unique_urls=True)
+        ns_sec = min(ns_sec, time.monotonic() - t0)
+        shutil.rmtree(wh, ignore_errors=True)
+    timings["extract_pipeline_noshuffle"] = round(ns_sec, 3)
+    docs_per_sec_noshuffle = round(ns_stats["n_written"] / ns_sec, 2)
     shutil.rmtree(os.path.dirname(corpus_dir), ignore_errors=True)
 
     for name in BENCH_QUERIES:
@@ -93,6 +104,7 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "docs_per_sec": docs_per_sec,
+        "docs_per_sec_noshuffle": docs_per_sec_noshuffle,
         "bench_pages": N_PAGES,
         "cpus": CPUS,
         "n_extracted": stats["n_written"],

@@ -166,7 +166,8 @@ def test_open_warehouse_dispatch(spark, tmp_path):
 
 
 def test_iceberg_warehouse_roundtrip(spark, tmp_path):
-    """Live Iceberg branch: stage -> commit (ledger last) -> read.  Runs
+    """Live Iceberg branch: stage -> commit (one snapshot-log append as
+    the atomic publish point) -> read/time-travel through the log.  Runs
     only where an Iceberg catalog is configured; the parquet emulation
     covers the identical contract in this container."""
     from ocr_translate_spark.io.tables import IcebergWarehouse, iceberg_available
@@ -294,3 +295,36 @@ def test_options_hash_canonicalization():
     assert base.options_hash() != ExtractOptions(granularity="single").options_hash()
     # the default key is the hash of the empty delta — stable forever
     assert base.options_hash() == hashlib.sha256(b"{}").hexdigest()[:16]
+
+
+def test_zero_shuffle_mode_byte_identical(spark, tmp_path):
+    """assume_unique_urls + no repartition: no payload shuffle, same
+    byte-identical results and ledger memoization."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "wh")
+    pages = pages_df(spark, 32, partitions=4)
+    stats = run_extraction(spark, pages, root, assume_unique_urls=True)
+    assert stats["n_written"] == 32
+    got = read_extracted(spark, root)
+    mism = (
+        got.join(pages.select("url", F.col("text").alias("e")), "url")
+        .filter(F.col("extracted_text") != F.col("e"))
+        .count()
+    )
+    assert got.count() == 32 and mism == 0
+    # memoization still applies
+    again = run_extraction(spark, pages, root, assume_unique_urls=True)
+    assert again["n_written"] == 0
+    # and the plan really has no payload exchange: only the broadcast
+    # anti-join appears before the Arrow stage
+    from ocr_translate_spark.operators.extract import extract_pages
+    from ocr_translate_spark.pipeline import pending_pages
+    from ocr_translate_spark.io.tables import Warehouse
+    from ocr_translate_spark.schemas import RUNS
+
+    runs = Warehouse(root).read(spark, "runs", schema=RUNS)
+    todo = pending_pages(pages, runs, "x", dedupe=False)
+    plan = extract_pages(todo)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,101 @@
+"""Corpus-curation operators: chunking, deterministic splits, PII scrub.
+
+The stages a training-data pipeline runs between extraction/dedup and
+tokenization.  Everything is native ``pyspark.sql.functions`` (JVM-side,
+codegen'd, no Python in the hot path) and every regex/hash is chosen so a
+DuckDB oracle can replay the identical computation:
+
+* ``chunk_documents`` — strided word windows with overlap (context-window
+  packing); pure ``sequence``/``slice``/``explode``, no UDF, no shuffle.
+* ``split_by_hash`` — deterministic train/val assignment from a portable
+  content hash (md5-derived 60-bit int; NOT xxhash64, which DuckDB lacks),
+  stable across runs, partitioning and cluster size.
+* ``scrub_pii`` — email/phone redaction with RE2-compatible patterns
+  (no lookarounds), the standard pre-release hygiene pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# RE2-compatible (works identically in Java regex and DuckDB's RE2)
+EMAIL_REGEX = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_REGEX = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+", -1), lambda x: x != F.lit(""))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """(doc_id, chunk_id, chunk_text, n_tokens): strided word windows.
+
+    Chunk ``i`` covers words ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; every word belongs to at least
+    one chunk and consecutive chunks share ``overlap`` words.  Explode is
+    the only data growth (bounded by ~n/stride chunks per doc); there is
+    no shuffle — at 100 TB this stays a narrow map over the scan.
+    """
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    words = _words(F.col(text_col))
+    n = F.size(words)
+    last = F.floor(F.greatest(n - 1, F.lit(0)) / stride).cast("int")
+    idx = F.sequence(F.lit(0), last)
+    chunk = lambda i: F.slice(words, i * stride + 1, chunk_tokens)  # noqa: E731
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(idx).alias("chunk_id"),
+        words.alias("_w"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("_w"), F.col("chunk_id") * stride + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+        F.size(
+            F.slice(F.col("_w"), F.col("chunk_id") * stride + 1, chunk_tokens)
+        ).cast("long").alias("n_tokens"),
+    )
+
+
+def portable_hash_bucket(col: Column, buckets: int, salt: str = "") -> Column:
+    """Deterministic [0, buckets) bucket from a portable md5-derived 60-bit
+    int — identical in Spark and DuckDB, stable across runs/partitioning."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str,
+    val_fraction: float = 0.1,
+    salt: str = "v1",
+    buckets: int = 1000,
+) -> DataFrame:
+    """Attach ``split`` ('train'|'val') from a salted content-hash bucket.
+
+    Hash-based assignment (vs random) is the reproducibility contract a
+    training pipeline needs: a document's split never changes when the
+    corpus grows, reshuffles, or reruns; changing ``salt`` re-rolls every
+    assignment at once."""
+    cut = int(round(val_fraction * buckets))
+    bucket = portable_hash_bucket(F.col(id_col), buckets, salt)
+    return df.withColumn(
+        "split", F.when(bucket < cut, F.lit("val")).otherwise(F.lit("train"))
+    )
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails then phone-like digit runs (order matters: emails may
+    contain digits that the phone pattern would mangle first)."""
+    out = F.regexp_replace(text, EMAIL_REGEX, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_REGEX, "<PHONE>")

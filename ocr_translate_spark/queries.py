@@ -216,6 +216,41 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(docs, "doc_id", "text")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: strided word chunks with overlap
+    (curation.chunk_documents; 32-token windows, 4-token overlap)."""
+    from .operators import curation
+
+    docs = load(spark, sf_dir, "documents")
+    return curation.chunk_documents(docs, "doc_id", "text",
+                                    chunk_tokens=32, overlap=4)
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val split (stable across runs,
+    partitioning and corpus growth; portable md5 bucket)."""
+    from .operators import curation
+
+    docs = load(spark, sf_dir, "documents")
+    out = curation.split_by_hash(docs, "doc_id", val_fraction=0.1, salt="v1")
+    return out.select("doc_id", "split")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over planted emails/phone numbers (RE2-safe
+    patterns replayed identically by the oracle)."""
+    from .operators import curation
+
+    docs = load(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select("doc_id", curation.scrub_pii(planted).alias("scrubbed"))
+
+
 def q_common_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary histogram: explode tokens, top-20 by count."""
     docs = load(spark, sf_dir, "documents")
@@ -870,6 +905,9 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "fingerprint": q_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
+    "chunk_documents": q_chunk_documents,
+    "train_val_split": q_train_val_split,
+    "pii_scrub": q_pii_scrub,
     "repetition_stats": q_repetition_stats,
     "common_words": q_common_words,
     "dedup_exact": q_dedup_exact,
@@ -979,6 +1017,35 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
         "FROM documents"
     ),
+    "chunk_documents": f"""
+        WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        c AS (SELECT doc_id,
+                unnest(range(0, (greatest(len(words)-1, 0) // 28) + 1)) AS i,
+                words
+              FROM w)
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+          array_to_string(words[i*28+1 : i*28+32], ' ') AS chunk_text,
+          CAST(len(words[i*28+1 : i*28+32]) AS BIGINT) AS n_tokens
+        FROM c
+    """,
+    "train_val_split": """
+        SELECT doc_id,
+          CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'),
+                          1, 15)) AS BIGINT) % 1000 < 100
+               THEN 'val' ELSE 'train' END AS split
+        FROM documents
+    """,
+    "pii_scrub": r"""
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or +1 (555) 010-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+              '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+        FROM documents
+    """,
     "repetition_stats": f"""
         WITH wc AS (
           SELECT doc_id, word, count(*) AS cnt FROM (

@@ -420,3 +420,53 @@ def test_brute_force_topk_string_ids_and_empty_queries(spark):
     assert rows == [("a", "b", 1), ("a", "c", 2)]
     empty = similarity.brute_force_topk(df, df.filter(F.col("vec_id") == "zz"), k=2)
     assert empty.count() == 0
+
+
+# -------------------------------------------------------------- curation
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from ocr_translate_spark.operators import curation
+
+    text = " ".join(f"w{i}" for i in range(70))
+    df = spark.createDataFrame([(1, text), (2, "short doc"), (3, "")],
+                               "doc_id long, text string")
+    out = curation.chunk_documents(df, "doc_id", "text",
+                                   chunk_tokens=32, overlap=4)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: 70 words, stride 28 -> chunks at 0/28/56
+    assert {c for (d, c) in rows if d == 1} == {0, 1, 2}
+    c0, c1 = rows[(1, 0)]["chunk_text"].split(), rows[(1, 1)]["chunk_text"].split()
+    assert c0[28:] == c1[:4]                     # 4-word overlap
+    assert rows[(1, 2)]["n_tokens"] == 70 - 56   # tail chunk clamps
+    reassembled = c0 + c1[4:] + rows[(1, 2)]["chunk_text"].split()[4:]
+    assert reassembled == text.split()           # full coverage, no loss
+    assert rows[(2, 0)]["chunk_text"] == "short doc"
+    assert rows[(3, 0)]["n_tokens"] == 0         # empty doc -> one empty chunk
+
+
+def test_split_by_hash_stable_and_balanced(spark, documents):
+    from ocr_translate_spark.operators import curation
+
+    a = {r["doc_id"]: r["split"]
+         for r in curation.split_by_hash(documents, "doc_id").select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in curation.split_by_hash(documents.repartition(7), "doc_id").select("doc_id", "split").collect()}
+    assert a == b  # partitioning-independent
+    frac = sum(1 for v in a.values() if v == "val") / len(a)
+    assert 0.03 < frac < 0.2  # ~10% at 500 docs
+    resalted = {r["doc_id"]: r["split"]
+                for r in curation.split_by_hash(documents, "doc_id", salt="v2").select("doc_id", "split").collect()}
+    assert resalted != a  # salt re-rolls assignments
+
+
+def test_scrub_pii(spark):
+    from ocr_translate_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [("write to jane.doe+x@corp.example.org or call +44 20 7946 0958 now",),
+         ("no pii here",)],
+        "text string",
+    )
+    got = [r[0] for r in df.select(curation.scrub_pii(F.col("text"))).collect()]
+    assert got[0] == "write to <EMAIL> or call <PHONE> now"
+    assert got[1] == "no pii here"

@@ -320,28 +320,47 @@ def extract_html(
 # ---------------------------------------------------------------- wrapping
 
 def escape_for_html(text: str) -> str:
-    """Escape plain text so that ``extract_html`` round-trips it exactly.
+    """Escape plain text so that ``extract_html`` round-trips it exactly
+    (property-fuzzed in tests/test_fuzz.py).
 
-    '\\n' becomes ``<br>``; runs of 2+ spaces are protected with ``&#32;``
-    so whitespace collapsing cannot merge them; leading/trailing spaces of a
-    line are likewise protected from block-edge stripping.
+    Contract: any text free of HTML-unrepresentable control characters
+    (C0 except ``\\t \\n \\f \\r``, DEL, C1) — those cannot appear in HTML
+    text content at all (their numeric character references are parse
+    errors the HTML5 spec drops or remaps).
+
+    Mechanics: interior '\\n' becomes ``<br>``; leading/trailing newlines
+    become ``&#10;`` (a bare edge ``<br>`` would be stripped as an empty
+    block edge); ``\\t \\r \\f`` become numeric entities (the extractor
+    collapses literal whitespace BEFORE decoding entities); runs of 2+
+    spaces and line-edge spaces are protected with ``&#32;``; a line made
+    entirely of strippable whitespace (e.g. ``\\xa0``, ``\\u2028``) gets
+    its first char entity-encoded so token gating cannot drop it.
     """
     out = (
         text.replace("&", "&amp;")
         .replace("<", "&lt;")
         .replace(">", "&gt;")
+        .replace("\t", "&#9;")
+        .replace("\r", "&#13;")
+        .replace("\f", "&#12;")
     )
+    lead = len(out) - len(out.lstrip("\n"))
+    core = out[lead:].rstrip("\n")
+    trail = len(out) - lead - len(core)
 
     def _protect(m: re.Match) -> str:
         s = m.group(0)
         return " " + "&#32;" * (len(s) - 1) if len(s) > 1 else s
 
-    out = re.sub(r" {2,}", _protect, out)
+    core = re.sub(r" {2,}", _protect, core)
     lines = []
-    for ln in out.split("\n"):
-        if ln.startswith(" "):
-            ln = "&#32;" + ln[1:]
-        if ln.endswith(" "):
-            ln = ln[:-1] + "&#32;"
+    for ln in core.split("\n"):
+        if ln and ln.strip() == "":
+            ln = f"&#{ord(ln[0])};" + ln[1:]
+        else:
+            if ln.startswith(" "):
+                ln = "&#32;" + ln[1:]
+            if ln.endswith(" "):
+                ln = ln[:-1] + "&#32;"
         lines.append(ln)
-    return "<br>".join(lines)
+    return "&#10;" * lead + "<br>".join(lines) + "&#10;" * trail

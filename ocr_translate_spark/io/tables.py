@@ -72,12 +72,19 @@ class IcebergWarehouse:
       Iceberg snapshot id, then publishes ONE log append
       ``(snapshot_id, table, iceberg_snapshot_id)`` covering all tables —
       the log append is the single atomic publish point;
-    * ``read`` ALWAYS resolves through the log: it time-travels each
-      table with ``VERSION AS OF`` the Iceberg snapshot the log recorded
-      for the requested (or latest) logical snapshot.  Data appended by a
-      crashed commit is therefore invisible — exactly the parquet
-      emulation's orphan-directory behavior — and logical snapshot ids
-      are sequential ints on both branches.
+    * ``read`` resolves through the log: it time-travels each table with
+      ``VERSION AS OF`` the Iceberg snapshot the log recorded for the
+      requested (or latest) logical snapshot, so data appended by a
+      crashed (never-logged) commit is invisible and logical snapshot ids
+      are sequential ints on both branches.  One divergence from the
+      parquet emulation, stated honestly: after a crash mid-commit, the
+      table's NEXT successful commit records an Iceberg snapshot that
+      also contains the orphaned append, so the re-extracted rows appear
+      twice from that logical snapshot on — byte-identical duplicates
+      (same url, version, options) that ``read_extracted(latest_only)``
+      collapses; the ledger itself never references the orphan run.
+      Warehouses written before the log existed are read at their current
+      table state (legacy fallback, no time travel).
 
     Exercised only when an Iceberg catalog is configured (tests skip
     otherwise); the emulation covers the contract in this container.
@@ -106,10 +113,14 @@ class IcebergWarehouse:
         return spark.table(handle)
 
     def _iceberg_snapshot(self, full: str) -> int:
-        row = self.spark.sql(
-            f"SELECT snapshot_id FROM {full}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
-        ).first()
+        """Current snapshot of the main branch via the ``refs`` metadata
+        table — deterministic, unlike ordering ``snapshots`` by the
+        millisecond-granularity ``committed_at`` (which can tie)."""
+        row = (
+            self.spark.sql(f"SELECT name, snapshot_id FROM {full}.refs")
+            .where("name = 'main'")
+            .first()
+        )
         return int(row["snapshot_id"]) if row else 0
 
     def commit(self, staged: dict[str, list[str]]) -> int:
@@ -126,7 +137,7 @@ class IcebergWarehouse:
                 self.spark.sql(f"DROP TABLE IF EXISTS {handle}")
             log_rows.append((new_id, table, self._iceberg_snapshot(full)))
         log_df = self.spark.createDataFrame(
-            log_rows, "snapshot_id long, table string, iceberg_snapshot_id long"
+            log_rows, "snapshot_id long, table_name string, iceberg_snapshot_id long"
         )
         log_full = self._full(self.LOG_TABLE)
         if self.spark.catalog.tableExists(log_full):
@@ -160,24 +171,38 @@ class IcebergWarehouse:
         schema=None,
         snapshot_id: int | None = None,
     ) -> DataFrame:
+        from pyspark.sql import functions as F
+
         full = self._full(table)
         log = self._log()
-        row = None
-        if log is not None:
+        exists = spark.catalog.tableExists(full)
+        if log is None:
+            # legacy warehouse written before the snapshot log existed:
+            # read the current table state (no time travel available)
+            if exists:
+                return spark.table(full)
+        else:
             snap = self.current_snapshot_id() if snapshot_id is None else snapshot_id
             row = (
-                log.where(f"table = '{table}' AND snapshot_id <= {snap}")
-                .orderBy("snapshot_id", ascending=False)
+                log.filter(
+                    (F.col("table_name") == table)
+                    & (F.col("snapshot_id") <= snap)
+                )
+                .orderBy(F.desc("snapshot_id"))
                 .first()
             )
-        if row is None or not spark.catalog.tableExists(full):
-            if schema is None:
-                raise ValueError(f"table {table!r} is empty and no schema given")
-            return spark.createDataFrame([], schema=schema)
-        return (
-            spark.read.option("snapshot-id", int(row["iceberg_snapshot_id"]))
-            .table(full)
-        )
+            if row is not None and exists:
+                return (
+                    spark.read
+                    .option("snapshot-id", int(row["iceberg_snapshot_id"]))
+                    .table(full)
+                )
+            # a table with data but no log row = a crashed, never-published
+            # commit: stays invisible (the parquet emulation's orphan-dir
+            # behavior)
+        if schema is None:
+            raise ValueError(f"table {table!r} is empty and no schema given")
+        return spark.createDataFrame([], schema=schema)
 
 
 class Warehouse:

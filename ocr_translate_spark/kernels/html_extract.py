@@ -356,7 +356,10 @@ def escape_for_html(text: str) -> str:
     lines = []
     for ln in core.split("\n"):
         if ln and ln.strip() == "":
-            ln = f"&#{ord(ln[0])};" + ln[1:]
+            # entity-encode EVERY char: a literal trailing space would be
+            # stripped by _finalize_text, and a literal-only line would be
+            # dropped by token gating
+            ln = "".join(f"&#{ord(c)};" for c in ln)
         else:
             if ln.startswith(" "):
                 ln = "&#32;" + ln[1:]

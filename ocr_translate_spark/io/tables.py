@@ -112,6 +112,13 @@ class IcebergWarehouse:
     def read_staged(self, spark: SparkSession, handle: str) -> DataFrame:
         return spark.table(handle)
 
+    def discard_staged(self, handle: str) -> None:
+        """Drop a staged-but-never-committed handle.  Callers that bail out
+        after staging (e.g. a fully-memoized run) MUST call this, or every
+        replayed streaming micro-batch leaks a permanent ``__stage_*``
+        table in the catalog."""
+        self.spark.sql(f"DROP TABLE IF EXISTS {handle}")
+
     def _iceberg_snapshot(self, full: str) -> int:
         """Current snapshot of the main branch via the ``refs`` metadata
         table — deterministic, unlike ordering ``snapshots`` by the
@@ -249,6 +256,14 @@ class Warehouse:
     def read_staged(self, spark: SparkSession, handle: str) -> DataFrame:
         """Read back a staged-but-uncommitted handle (columnar, cheap)."""
         return spark.read.parquet(handle)
+
+    def discard_staged(self, handle: str) -> None:
+        """Delete a staged-but-never-committed data directory (no manifest
+        references it, so this is pure orphan cleanup — see
+        IcebergWarehouse.discard_staged for why callers must bother)."""
+        import shutil
+
+        shutil.rmtree(handle, ignore_errors=True)
 
     def commit(self, staged: dict[str, list[str]]) -> int:
         """Atomically publish staged directories for one or more tables.

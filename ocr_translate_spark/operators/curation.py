@@ -38,7 +38,12 @@ def chunk_documents(
 
     Chunk ``i`` covers words ``[i*stride, i*stride + chunk_tokens)`` with
     ``stride = chunk_tokens - overlap``; every word belongs to at least
-    one chunk and consecutive chunks share ``overlap`` words.  Explode is
+    one chunk and consecutive chunks share ``overlap`` words.  The last
+    chunk index is ``ceil(max(n - chunk_tokens, 0) / stride)`` — the
+    smallest index whose window reaches the final word — so no chunk is
+    ever fully contained in its predecessor (a floor((n-1)/stride) bound
+    emitted a redundant tail whenever stride < n <= chunk_tokens held,
+    duplicating training text); zero-word docs emit no rows.  Explode is
     the only data growth (bounded by ~n/stride chunks per doc); there is
     no shuffle — at 100 TB this stays a narrow map over the scan.
     """
@@ -46,10 +51,12 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     words = _words(F.col(text_col))
     n = F.size(words)
-    last = F.floor(F.greatest(n - 1, F.lit(0)) / stride).cast("int")
+    # integer ceil: (max(n - chunk_tokens, 0) + stride - 1) / stride
+    last = F.floor(
+        (F.greatest(n - chunk_tokens, F.lit(0)) + (stride - 1)) / stride
+    ).cast("int")
     idx = F.sequence(F.lit(0), last)
-    chunk = lambda i: F.slice(words, i * stride + 1, chunk_tokens)  # noqa: E731
-    return df.select(
+    return df.filter(n > 0).select(
         F.col(id_col).alias("doc_id"),
         F.explode(idx).alias("chunk_id"),
         words.alias("_w"),

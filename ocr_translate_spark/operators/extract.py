@@ -65,6 +65,20 @@ class ExtractOptions:
         blob = json.dumps(delta, sort_keys=True, default=str)
         return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
+    def accepted_hashes(self) -> tuple[str, ...]:
+        """All cache keys under which a run of THESE options may appear in
+        an existing ledger.  The delta-canonicalized scheme above replaced
+        the original full-field-dict scheme; without this, the scheme
+        switch itself would be a one-time corpus-wide invalidation (every
+        ledger row written under the old hash would silently re-extract).
+        The memo probe (pipeline.pending_pages) therefore accepts EITHER
+        hash; new rows are always written under the canonical scheme, so
+        legacy keys age out of ledgers naturally as options change."""
+        legacy_blob = json.dumps(asdict(self), sort_keys=True, default=str)
+        legacy = hashlib.sha256(legacy_blob.encode()).hexdigest()[:16]
+        canonical = self.options_hash()
+        return (canonical,) if legacy == canonical else (canonical, legacy)
+
 
 _STAGE_SCHEMA = (
     "url string, lang string, extracted_text string, "

@@ -54,6 +54,17 @@ def dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(_ordered_dot(_stack(a), _stack(b)))
 
 
+@F.pandas_udf(DoubleType())
+def dot_fast_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """numpy-native row-wise dot (BLAS/SIMD pairwise summation): one fused
+    pass instead of the ordered fold's d temporaries.  For consumers where
+    the value feeds a threshold or a rank — NOT a cross-engine hash gate —
+    the last-ulp difference vs the SQL left fold is irrelevant and this is
+    the path to use (VERDICT r2: the ordered fold taxed every similarity
+    operator including the three non-oracled ones)."""
+    return pd.Series(np.einsum("ij,ij->i", _stack(a), _stack(b)))
+
+
 def as_double(col) -> "F.Column":
     """Promote array<float> to array<double> (float32 multiplies lose
     precision and won't reproduce across engines).  Kept for callers that
@@ -61,9 +72,11 @@ def as_double(col) -> "F.Column":
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Attach the L2 norm (index-ordered accumulation, Arrow-vectorized)."""
-    return df.withColumn("_norm", F.sqrt(dot_udf(F.col(vec_col), F.col(vec_col))))
+def with_norm(df: DataFrame, vec_col: str = "embedding", exact: bool = True) -> DataFrame:
+    """Attach the L2 norm (Arrow-vectorized; ``exact`` selects the
+    index-ordered accumulation needed for cross-engine bit-identity)."""
+    dot = dot_udf if exact else dot_fast_udf
+    return df.withColumn("_norm", F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
 
 
 def brute_force_topk(
@@ -81,19 +94,29 @@ def brute_force_topk(
     at most ``k`` candidates per query (partial top-k), so the final
     window exchange carries ``partitions * |Q| * k`` rows, independent of
     corpus size.  Self-matches are excluded; ties break on neighbor_id.
+
+    Zero-norm vectors have no defined cosine and are EXCLUDED on both
+    sides (corpus rows can never rank; zero queries return no rows) —
+    without the filter, NaN cosines sorted inconsistently between the
+    per-batch numpy partial top-k (lexsort drops NaN) and the final Spark
+    window (desc() ranks NaN first).  The DuckDB oracles apply the same
+    ``nrm > 0`` filter.
     """
     id_dt = corpus.schema[id_col].dataType.simpleString()
     cand_schema = f"query_id {id_dt}, neighbor_id {id_dt}, cosine double"
     q_rows = queries.select(id_col, vec_col).collect()
-    if not q_rows:
-        return corpus.sparkSession.createDataFrame(
-            [], f"{cand_schema}, rank int"
-        )
     # ids keep their native dtype (numpy infers int64/unicode/object);
     # only equality + ordering are required of them
     q_ids = np.array([r[id_col] for r in q_rows])
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    q_norm = np.sqrt(_ordered_dot(q_mat, q_mat))
+    if len(q_rows):
+        q_norm = np.sqrt(_ordered_dot(q_mat, q_mat))
+        nz = q_norm > 0.0
+        q_ids, q_mat, q_norm = q_ids[nz], q_mat[nz], q_norm[nz]
+    if not len(q_ids):
+        return corpus.sparkSession.createDataFrame(
+            [], f"{cand_schema}, rank int"
+        )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -102,6 +125,11 @@ def brute_force_topk(
             c_mat = _stack(pdf[vec_col])
             c_ids = pdf[id_col].to_numpy()
             c_norm = np.sqrt(_ordered_dot(c_mat, c_mat))
+            cnz = c_norm > 0.0
+            if not cnz.all():
+                c_mat, c_ids, c_norm = c_mat[cnz], c_ids[cnz], c_norm[cnz]
+                if not len(c_ids):
+                    continue
             # index-ordered accumulation per (corpus row, query) pair:
             # outer products column by column — bit-identical to the
             # per-pair left fold, vectorized across the whole batch
@@ -193,17 +221,27 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     seed: int = 7,
+    exact_math: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share an LSH bucket, exact
     cosine re-ranks inside the bucket.  Equi-join on bucket replaces the
-    cross join — the piece that survives a 1000-executor scale-up."""
-    c = add_lsh_bucket(with_norm(corpus, vec_col), vec_col, n_planes, seed).select(
+    cross join — the piece that survives a 1000-executor scale-up.
+
+    ``exact_math=False`` scores with the fused numpy dot (dot_fast_udf) —
+    right whenever no cross-engine hash gate consumes the values.
+    Zero-norm rows are excluded on both sides (see brute_force_topk)."""
+    dot = dot_udf if exact_math else dot_fast_udf
+    c = add_lsh_bucket(
+        with_norm(corpus, vec_col, exact_math), vec_col, n_planes, seed
+    ).filter(F.col("_norm") > 0).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         F.col("_norm").alias("_cnorm"),
         "bucket",
     )
-    q = add_lsh_bucket(with_norm(queries, vec_col), vec_col, n_planes, seed).select(
+    q = add_lsh_bucket(
+        with_norm(queries, vec_col, exact_math), vec_col, n_planes, seed
+    ).filter(F.col("_norm") > 0).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
         F.col("_norm").alias("_qnorm"),
@@ -214,7 +252,7 @@ def lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            dot_udf(F.col("_cvec"), F.col("_qvec")) / (F.col("_cnorm") * F.col("_qnorm")),
+            dot(F.col("_cvec"), F.col("_qvec")) / (F.col("_cnorm") * F.col("_qnorm")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
@@ -297,6 +335,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 7,
     centroids: np.ndarray | None = None,
+    exact_math: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse k-means cells prune
     the corpus, exact cosine re-ranks inside the probed cells.
@@ -307,18 +346,32 @@ def ivf_topk(
     matmul pass, candidates meet in a cell equi-join (query side
     broadcast), and only ~|corpus|·n_probe/n_cells pairs are scored.
     Pass precomputed ``centroids`` to reuse a trained quantizer across
-    queries (the production pattern: train once, probe many)."""
+    queries (the production pattern: train once, probe many).
+
+    With ``n_probe == n_cells`` every cell is probed, so the candidate set
+    is the whole corpus and the result is PROVABLY equal to
+    ``brute_force_topk`` (same exclusions, same tie-break, and — with the
+    default ``exact_math=True`` — bit-identical cosines); the driver
+    oracles the full-probe configuration against the brute-force SQL.
+    ``exact_math=False`` swaps in the fused numpy dot for the re-rank
+    (right for the approximate configurations, where no hash gate reads
+    the values).  Zero-norm rows are excluded on both sides."""
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, id_col, vec_col, n_cells=n_cells, seed=seed
         )
-    c = _assign_cells(with_norm(corpus, vec_col), centroids, vec_col, 1).select(
+    dot = dot_udf if exact_math else dot_fast_udf
+    c = _assign_cells(
+        with_norm(corpus, vec_col, exact_math), centroids, vec_col, 1
+    ).filter(F.col("_norm") > 0).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         F.col("_norm").alias("_cnorm"),
         F.col("cells")[0].alias("cell"),
     )
-    q = _assign_cells(with_norm(queries, vec_col), centroids, vec_col, n_probe).select(
+    q = _assign_cells(
+        with_norm(queries, vec_col, exact_math), centroids, vec_col, n_probe
+    ).filter(F.col("_norm") > 0).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
         F.col("_norm").alias("_qnorm"),
@@ -329,7 +382,7 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            dot_udf(F.col("_cvec"), F.col("_qvec")) / (F.col("_cnorm") * F.col("_qnorm")),
+            dot(F.col("_cvec"), F.col("_qvec")) / (F.col("_cnorm") * F.col("_qnorm")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
@@ -360,8 +413,9 @@ def embedding_near_dups(
     """
     # materialized once: the bucket explode + the two vector re-joins
     # would otherwise re-run the norm UDF and the scan per branch
-    # (see dedup.minhash_lsh_candidates for the cache-lifecycle notes)
-    base = with_norm(df, vec_col).select(
+    # (see dedup.minhash_lsh_candidates for the cache-lifecycle notes).
+    # Zero-norm rows are dropped (undefined cosine; oracle filters nrm > 0)
+    base = with_norm(df, vec_col).filter(F.col("_norm") > 0).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), F.col("_norm").alias("_n")
     )
     if materialize:

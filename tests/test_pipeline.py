@@ -188,6 +188,76 @@ def test_iceberg_warehouse_roundtrip(spark, tmp_path):
     # time travel resolves through the snapshot log, not raw Iceberg ids
     assert wh.read(spark, "extracted", snapshot_id=snap).count() == 5
     assert wh.read(spark, "runs", snapshot_id=snap2).count() == 5
+    # crash recovery: append WITHOUT a log publish (= a commit that died
+    # in between), then commit normally — the orphan must be rolled back,
+    # not folded into the next published snapshot
+    df.writeTo(wh._full("extracted")).append()  # orphan append
+    assert wh.read(spark, "extracted").count() == 10  # invisible to reads
+    snap3 = wh.commit({"extracted": [wh.stage(df, "extracted")]})
+    assert wh.read(spark, "extracted", snapshot_id=snap3).count() == 15  # not 20
+    # merge: true MERGE INTO upsert — duplicate keys impossible
+    kv = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    wh.merge(spark, kv, "ledger", ["k"])
+    kv2 = spark.createDataFrame([(2, "X"), (3, "c")], "k long, v string")
+    wh.merge(spark, kv2, "ledger", ["k"])
+    got = {r["k"]: r["v"] for r in wh.read(spark, "ledger").collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # first writer wins on k=2
+
+
+def test_emulation_commit_survives_publish_race(spark, tmp_path, monkeypatch):
+    """Optimistic-concurrency protocol of the manifest publish: a writer
+    whose target snapshot id gets claimed first (simulated via a stale
+    current_snapshot_id read) must rebase on the winner and land both
+    commits, serialized."""
+    root = str(tmp_path / "wh")
+    wh = Warehouse(root)
+    wh.write(spark.range(3).toDF("x"), "t")         # snapshot 1 (the winner)
+    stale_done = []
+    real = Warehouse.current_snapshot_id
+
+    def stale_once(self):
+        if not stale_done:
+            stale_done.append(1)
+            return 0  # stale read: this writer will also target id 1
+        return real(self)
+
+    monkeypatch.setattr(Warehouse, "current_snapshot_id", stale_once)
+    sid = wh.write(spark.range(4).toDF("x"), "t")   # collides, retries
+    assert sid == 2
+    assert wh.read(spark, "t").count() == 7          # both commits live
+    manifest = wh._manifest(2)
+    assert len(manifest["tables"]["t"]) == 2         # rebased, not replaced
+
+
+def test_emulation_merge_upsert_first_writer_wins(spark, tmp_path):
+    """Warehouse.merge — the parquet-emulation analog of the Iceberg
+    branch's MERGE INTO (J4 get_or_create): key-unique by construction."""
+    root = str(tmp_path / "wh")
+    wh = Warehouse(root)
+    kv = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b_dup")], "k long, v string")
+    wh.merge(spark, kv, "ledger", ["k"])
+    kv2 = spark.createDataFrame([(2, "X"), (3, "c")], "k long, v string")
+    wh.merge(spark, kv2, "ledger", ["k"])
+    rows = wh.read(spark, "ledger").collect()
+    got = {r["k"]: r["v"] for r in rows}
+    assert len(rows) == 3 and set(got) == {1, 2, 3}
+    assert got[1] == "a" and got[2] in ("b", "b_dup") and got[3] == "c"
+    assert got[2] != "X"  # first writer won
+
+
+def test_force_rerun_keeps_ledger_keys_unique(spark, tmp_path):
+    """A forced re-extraction must not duplicate ledger keys (upsert
+    semantics inside the atomic three-table commit)."""
+    root = str(tmp_path / "wh")
+    pages = pages_df(spark, 16, partitions=2)
+    run_extraction(spark, pages, root)
+    run_extraction(spark, pages, root, force=True)
+    runs = Warehouse(root).read(spark, "runs", schema=RUNS)
+    n = runs.count()
+    assert n == 16
+    assert n == runs.dropDuplicates(
+        ["url", "extractor_version", "options_hash"]
+    ).count()
 
 
 def test_runs_ledger_schema(spark, pages, tmp_path):

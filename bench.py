@@ -23,7 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
-N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+# best-of-N: the host's noise windows make single runs unrepresentative
+# (see window_quality); 3 reps catch a clean moment far more often
+N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 BENCH_QUERIES = (
     "extract_roundtrip",
@@ -39,6 +41,34 @@ BENCH_QUERIES = (
 )
 
 
+def _burn_once(_=None) -> int:
+    t0 = time.monotonic()
+    x = 0
+    while time.monotonic() - t0 < 0.5:
+        x += 1
+    return x
+
+
+def window_quality() -> dict:
+    """Calibrate the measurement window: this sandbox VM sits on a
+    host-overcommitted hypervisor whose noise varies by the minute (slow
+    windows show 45-60%% system time + 7-12%% steal and 3-8x wall-clock
+    inflation on identical jobs).  Reporting the window alongside the
+    numbers makes runs comparable across rounds: ``burn_1`` is single-core
+    iterations/0.5s (higher = faster core), ``parallel_32`` is the
+    aggregate 32-proc burn relative to 32x single-core (1.0 = no
+    contention)."""
+    import multiprocessing as mp
+
+    single = _burn_once()
+    with mp.Pool(32) as pool:
+        total32 = sum(pool.map(_burn_once, range(32)))
+    return {
+        "burn_1": single,
+        "parallel_32": round(total32 / (32.0 * single), 3),
+    }
+
+
 def main() -> int:
     from ocr_translate_spark.corpus import pages_df
     from ocr_translate_spark.pipeline import run_extraction
@@ -46,6 +76,7 @@ def main() -> int:
     from ocr_translate_spark.session import get_spark
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    window_before = window_quality()
     spark = get_spark("bench", cpus=CPUS)
 
     timings: dict[str, float] = {}
@@ -108,6 +139,11 @@ def main() -> int:
         "bench_pages": N_PAGES,
         "cpus": CPUS,
         "n_extracted": stats["n_written"],
+        # hypervisor-noise calibration bracketing the run (see
+        # window_quality): parallel_32 near 1.0 = clean window; wall-clock
+        # numbers from windows far below ~0.7 are noise-dominated
+        "window_before": window_before,
+        "window_after": window_quality(),
     }))
     return 0
 

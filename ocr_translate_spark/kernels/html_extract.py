@@ -47,10 +47,10 @@ MAX_LINK_DENSITY_POSITIVE = 0.66  # inside <article>/<main>
 MAX_LINK_DENSITY_DEFAULT = 0.33
 MIN_CONTENT_CHARS = 25
 
-_TAG_NAME_RE = re.compile(rb"[a-zA-Z][a-zA-Z0-9:-]*")
+_TAG_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:-]*")
 _WS_COLLAPSE_RE = re.compile(r"[ \t\r\f\v]+")
-# bytes tag -> lowered str name, shared across documents (tag vocab is tiny)
-_TAG_NAME_CACHE: dict[bytes, str] = {}
+# raw tag -> lowered name, shared across documents (tag vocab is tiny)
+_TAG_NAME_CACHE: dict[str, str] = {}
 
 
 @dataclass
@@ -142,10 +142,14 @@ def extract_html(
 
     The tag scan is fused into this function (a prior version yielded
     ('text'|'open'|'close', ...) tuples from a generator; the tuple/yield
-    machinery alone was ~1/3 of kernel time at ~220 tokens/page).  Golden
-    tests pin the output byte-identically across the rewrite.
+    machinery alone was ~1/3 of kernel time at ~220 tokens/page), the
+    buffer is decoded ONCE up front ('<' = 0x3C can never occur inside a
+    UTF-8 multibyte sequence, so whole-buffer decode ≡ per-segment decode
+    on valid input and the ~50 per-page segment decodes collapse to one),
+    and blocks are classified inline at flush time (no Block allocation,
+    no second pass).  Golden tests pin the output byte-identically across
+    the rewrites.
     """
-    blocks: list[Block] = []
     parts: list[str] = []
     link_chars = 0
     raw_chars = 0
@@ -156,39 +160,57 @@ def extract_html(
     head_depth = 0
     title_depth = 0
     title_parts: list[str] = []
-    cur_tag = ""
     heading = False
+    kept_texts: list[str] = []
+    spans: list[tuple[int, int]] = []
+    scores: list[float] = []
+    offset = 0
+    n_blocks = 0
+    n_kept = 0
 
     def flush():
+        # classification inlined from _classify (kept as the documented
+        # reference implementation + unit surface): same keep/score math
         nonlocal parts, link_chars, raw_chars, n_tags
+        nonlocal offset, n_blocks, n_kept
         text = _finalize_text(parts)
         if text:
-            blocks.append(Block(
-                text=text,
-                chars=len(text),
-                link_chars=min(link_chars, len(text)),
-                n_tags=n_tags,
-                pos_depth=pos_depth,
-                neg_depth=neg_depth,
-                tag=cur_tag,
-                is_heading=heading,
-            ))
+            n_blocks += 1
+            tl = len(text)
+            ld = (link_chars if link_chars < tl else tl) / tl
+            td = tl / (n_tags + 1) / 10.0
+            score = (td if td < 1.0 else 1.0) * (1.0 - ld)
+            if neg_depth > 0:
+                keep = False
+            elif pos_depth > 0:
+                keep = ld <= MAX_LINK_DENSITY_POSITIVE
+            elif heading:
+                keep = ld == 0.0 and tl >= min_content_chars
+            else:
+                keep = ld <= max_link_density and tl >= min_content_chars
+            if keep:
+                if kept_texts:
+                    offset += 1  # the '\n' joiner
+                kept_texts.append(text)
+                spans.append((offset, offset + tl))
+                scores.append(score)
+                offset += tl
+                n_kept += 1
         parts, link_chars, raw_chars, n_tags = [], 0, 0, 0
 
-    buf = data
+    buf = data.decode("utf-8", "replace")
     n = len(buf)
     pos = 0
-    lowered: bytes | None = None
+    lowered: str | None = None
     names = _TAG_NAME_CACHE
     tag_match = _TAG_NAME_RE.match
     find = buf.find
 
     while pos < n:
-        lt = find(b"<", pos)
+        lt = find("<", pos)
         # ---- text segment before the tag (or the tail) ----
         if lt != pos:
-            seg = buf[pos:] if lt < 0 else buf[pos:lt]
-            txt = seg.decode("utf-8", "replace")
+            txt = buf[pos:] if lt < 0 else buf[pos:lt]
             if title_depth > 0:
                 title_parts.append(txt)
             elif head_depth == 0:
@@ -202,20 +224,20 @@ def extract_html(
                 pos = n
                 break
         # ---- tag ----
-        c = buf[lt + 1] if lt + 1 < n else 0
-        if c == 0x21:  # '!': comment or doctype
-            if buf.startswith(b"<!--", lt):
-                end = find(b"-->", lt + 4)
+        c = buf[lt + 1] if lt + 1 < n else ""
+        if c == "!":  # comment or doctype
+            if buf.startswith("<!--", lt):
+                end = find("-->", lt + 4)
                 pos = n if end < 0 else end + 3
             else:
-                end = find(b">", lt)
+                end = find(">", lt)
                 pos = n if end < 0 else end + 1
             continue
-        if c == 0x3F:  # '?': processing instruction
-            end = find(b">", lt)
+        if c == "?":  # processing instruction
+            end = find(">", lt)
             pos = n if end < 0 else end + 1
             continue
-        closing = c == 0x2F  # '/'
+        closing = c == "/"
         m = tag_match(buf, lt + (2 if closing else 1))
         if not m:
             # stray '<' — treat it as text
@@ -231,10 +253,10 @@ def extract_html(
         raw = m.group(0)
         name = names.get(raw)
         if name is None:
-            name = raw.decode("ascii").lower()
+            name = raw.lower()
             if len(names) < 4096:
                 names[raw] = name
-        end = find(b">", m.end())
+        end = find(">", m.end())
         if end < 0:
             pos = n
             break
@@ -243,13 +265,12 @@ def extract_html(
             if name == "br":
                 parts.append("\n")
                 continue
-            selfclosing = buf[end - 1] == 0x2F
+            selfclosing = buf[end - 1] == "/"
             if name in BLOCK_TAGS:
                 if raw_chars or parts:
                     flush()
                 else:
                     link_chars = n_tags = 0
-                cur_tag = name
                 heading = name in _HEADING_TAGS
                 if not selfclosing:
                     if name in POSITIVE_CONTAINERS:
@@ -267,7 +288,7 @@ def extract_html(
                 if name in SKIP_CONTENT_TAGS and not selfclosing:
                     if lowered is None:
                         lowered = buf.lower()
-                    close_pat = b"</" + name.encode() + b">"
+                    close_pat = "</" + name + ">"
                     idx = lowered.find(close_pat, pos)
                     pos = n if idx < 0 else idx + len(close_pat)
         else:  # close
@@ -285,32 +306,15 @@ def extract_html(
                 elif name == "title":
                     title_depth = max(0, title_depth - 1)
                 heading = False
-                cur_tag = ""
             elif name == "a":
                 link_depth = max(0, link_depth - 1)
     if raw_chars or parts:
         flush()
 
-    kept_texts: list[str] = []
-    spans: list[tuple[int, int]] = []
-    scores: list[float] = []
-    offset = 0
-    n_kept = 0
-    for blk in blocks:
-        keep, score = _classify(blk, max_link_density, min_content_chars)
-        if keep:
-            if kept_texts:
-                offset += 1  # the '\n' joiner
-            kept_texts.append(blk.text)
-            spans.append((offset, offset + len(blk.text)))
-            scores.append(score)
-            offset += len(blk.text)
-            n_kept += 1
-
     return ExtractResult(
         text="\n".join(kept_texts),
         spans=spans,
-        n_blocks=len(blocks),
+        n_blocks=n_blocks,
         n_kept=n_kept,
         title=_finalize_text(title_parts),
         scores=scores,

@@ -106,3 +106,77 @@ def scrub_pii(text: Column) -> Column:
     contain digits that the phone pattern would mangle first)."""
     out = F.regexp_replace(text, EMAIL_REGEX, "<EMAIL>")
     return F.regexp_replace(out, PHONE_REGEX, "<PHONE>")
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 2048,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Sequence packing (GPT-style pretraining): documents concatenated in
+    deterministic ``id_col`` order into one continuous token stream, then
+    sliced into fixed ``capacity``-token training sequences (documents may
+    cross sequence boundaries — the standard concat-and-slice regime).
+
+    Returns (doc_id, n_tokens, start_offset, first_bin, last_bin): where
+    each document lands in the stream and which training sequences it
+    touches.  Deterministic and partitioning-invariant, so the DuckDB
+    oracle is a plain global window cumsum.
+
+    Scale design — a naive ``Window.orderBy(id)`` cumsum collapses the
+    corpus onto ONE task; instead this is the classic two-level
+    distributed prefix sum over DATA-DRIVEN id buckets (approx-quantile
+    range bounds, so bucket assignment is a pure function of doc_id —
+    stable across re-executions, unlike spark_partition_id): per-bucket
+    token subtotals (one tiny aggregate, |buckets| rows) are prefix-summed
+    on the driver and broadcast back, and a bucket-local window adds the
+    running sum — every O(corpus) step stays fully parallel.
+    """
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_words(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    if n_parts > 1:
+        qs = [i / n_parts for i in range(1, n_parts)]
+        bounds = sorted(set(d.approxQuantile("doc_id", qs, 0.001)))
+    else:
+        bounds = []
+    if bounds:
+        barr = F.array(*[F.lit(b).cast("double") for b in bounds])
+        bucket = F.size(
+            F.filter(barr, lambda b: b <= F.col("doc_id").cast("double"))
+        )
+    else:
+        bucket = F.lit(0)
+    d = d.withColumn("_bkt", bucket)
+    subtotals = (
+        d.groupBy("_bkt").agg(F.sum("n_tokens").alias("_sub"))
+        .collect()  # bounded by the bucket count, never by corpus size
+    )
+    prefix: dict[int, int] = {}
+    acc = 0
+    for row in sorted(subtotals, key=lambda r: r["_bkt"]):
+        prefix[row["_bkt"]] = acc
+        acc += row["_sub"] or 0
+    from pyspark.sql import Window
+
+    local = Window.partitionBy("_bkt").orderBy("doc_id")
+    prefix_map = F.create_map(
+        *[F.lit(x) for kv in prefix.items() for x in kv]
+    )
+    start = (
+        prefix_map[F.col("_bkt")]
+        + F.sum("n_tokens").over(local) - F.col("n_tokens")
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / capacity).cast("long").alias("first_bin"),
+        # empty docs occupy no space: their last_bin equals first_bin
+        F.floor(F.greatest(start + F.col("n_tokens") - 1, start) / capacity)
+        .cast("long").alias("last_bin"),
+    )

@@ -231,6 +231,10 @@ def lsh_topk(
     right whenever no cross-engine hash gate consumes the values.
     Zero-norm rows are excluded on both sides (see brute_force_topk)."""
     dot = dot_udf if exact_math else dot_fast_udf
+    # project to (id, vec) BEFORE the norm/bucket stages: unrelated corpus
+    # columns must not ride the fan-out exchange or the Arrow transfers
+    corpus = corpus.select(id_col, vec_col)
+    queries = queries.select(id_col, vec_col)
     c = add_lsh_bucket(
         with_norm(corpus, vec_col, exact_math), vec_col, n_planes, seed
     ).filter(F.col("_norm") > 0).select(
@@ -361,6 +365,9 @@ def ivf_topk(
             corpus, id_col, vec_col, n_cells=n_cells, seed=seed
         )
     dot = dot_udf if exact_math else dot_fast_udf
+    # project early: see lsh_topk — no unrelated columns in the exchanges
+    corpus = corpus.select(id_col, vec_col)
+    queries = queries.select(id_col, vec_col)
     c = _assign_cells(
         with_norm(corpus, vec_col, exact_math), centroids, vec_col, 1
     ).filter(F.col("_norm") > 0).select(
@@ -414,8 +421,12 @@ def embedding_near_dups(
     # materialized once: the bucket explode + the two vector re-joins
     # would otherwise re-run the norm UDF and the scan per branch
     # (see dedup.minhash_lsh_candidates for the cache-lifecycle notes).
-    # Zero-norm rows are dropped (undefined cosine; oracle filters nrm > 0)
-    base = with_norm(df, vec_col).filter(F.col("_norm") > 0).select(
+    # Projected to (id, vec) FIRST (no unrelated columns in the cache or
+    # exchanges); zero-norm rows dropped (undefined cosine; oracle
+    # filters nrm > 0 identically)
+    base = with_norm(df.select(id_col, vec_col), vec_col).filter(
+        F.col("_norm") > 0
+    ).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), F.col("_norm").alias("_n")
     )
     if materialize:

@@ -233,6 +233,17 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     chunk_tokens=32, overlap=4)
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (GPT-style concat-and-slice pretraining batches):
+    distributed two-level prefix sum over data-driven id buckets — no
+    single-task global window (curation.pack_documents); 256-token
+    sequences."""
+    from .operators import curation
+
+    docs = load(spark, sf_dir, "documents")
+    return curation.pack_documents(docs, "doc_id", "text", capacity=256)
+
+
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val split (stable across runs,
     partitioning and corpus growth; portable md5 bucket)."""
@@ -975,6 +986,7 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
     "chunk_documents": q_chunk_documents,
+    "pack_documents": q_pack_documents,
     "train_val_split": q_train_val_split,
     "pii_scrub": q_pii_scrub,
     "repetition_stats": q_repetition_stats,
@@ -1104,6 +1116,19 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
           array_to_string(words[i*28+1 : i*28+32], ' ') AS chunk_text,
           CAST(len(words[i*28+1 : i*28+32]) AS BIGINT) AS n_tokens
+        FROM c
+    """,
+    "pack_documents": f"""
+        WITH w AS (SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens
+                     AS BIGINT) AS start_offset
+              FROM w)
+        SELECT doc_id, n_tokens, start_offset,
+          CAST(start_offset // 256 AS BIGINT) AS first_bin,
+          CAST(greatest(start_offset + n_tokens - 1, start_offset) // 256
+               AS BIGINT) AS last_bin
         FROM c
     """,
     "train_val_split": """

@@ -13,7 +13,12 @@ views.py:236-247) as a continuous service.
 Scale notes: each micro-batch runs the identical one-Arrow-stage plan as
 batch mode (salted repartition optional); state lives in the committed
 ``runs`` table, not in streaming state stores, so the stream survives
-checkpoint loss and mixes freely with batch backfills.
+checkpoint loss and interleaves with batch backfills — SERIALIZED, one
+writer at a time, per the warehouse's single-writer contract
+(io/tables.py ConcurrentCommitError): stop the stream (or point it at a
+different warehouse root) before running a concurrent batch backfill.
+A fully-memoized replayed micro-batch discards its staged handle
+(pipeline.run_extraction), so replays leak nothing.
 """
 
 from __future__ import annotations

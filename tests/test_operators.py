@@ -478,6 +478,26 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert rows[(4, 0)]["n_tokens"] == 30
 
 
+def test_pack_documents_contiguous_and_partition_invariant(spark, documents):
+    from ocr_translate_spark.operators import curation
+
+    out = curation.pack_documents(documents, "doc_id", "text", capacity=64)
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    # the stream is contiguous: each doc starts where the previous ended
+    off = 0
+    for r in rows:
+        assert r["start_offset"] == off
+        assert r["first_bin"] == off // 64
+        assert r["last_bin"] == max(off + r["n_tokens"] - 1, off) // 64
+        off += r["n_tokens"]
+    # partitioning/bucket-count invariance (the distributed prefix sum
+    # must agree with itself at any parallelism)
+    alt = curation.pack_documents(
+        documents.repartition(7), "doc_id", "text", capacity=64, partitions=3
+    )
+    assert sorted(map(tuple, alt.collect())) == sorted(map(tuple, rows))
+
+
 def test_split_by_hash_stable_and_balanced(spark, documents):
     from ocr_translate_spark.operators import curation
 

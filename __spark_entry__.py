@@ -32,11 +32,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query.  Omitted only for the 3 queries
-    whose physical inputs SQL cannot reproduce (extract_corpus: the
-    synthetic page generator runs Spark-side; embedding_lsh_topk /
-    embedding_ivf_topk: numpy hyperplanes / k-means cells) — those carry
-    recall/exactness pytests instead.  MinHash/SimHash are oracled via
-    the candidates->exact-verify shape (set/multiset-equality grouping);
+    """DuckDB-equivalent SQL per query.  Omitted only for the 2 queries
+    whose physical inputs SQL cannot reproduce (embedding_lsh_topk /
+    embedding_ivf_topk: numpy hyperplane signs / probed-cell subsets) —
+    those carry recall pytests, and their machinery is oracled through
+    provably-exact degenerate configurations (embedding_lsh_onebucket:
+    n_planes = 0; embedding_ivf_topk_fullprobe: n_probe = n_cells).
+    extract_corpus is oracled byte-identically against the generator's
+    golden text staged to parquet.  MinHash/SimHash are oracled via the
+    candidates->exact-verify shape (set/multiset-equality grouping);
     rolling fingerprints via a portable md5 gram hash."""
     return dict(ORACLE_SQL)

@@ -420,6 +420,24 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_lsh_onebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH with ``n_planes == 0``: the sign pattern is empty, every vector
+    lands in bucket 0, the candidate set is the whole corpus and the
+    result is provably brute force — oracling the LSH machinery
+    (bucketize stage, bucket equi-join, exact re-rank, top-k window) with
+    the exact-cosine SQL, the same degenerate-configuration trick as
+    q_embedding_ivf_topk_fullprobe.  Only the hyperplane signs themselves
+    (numpy Gaussians) stay SQL-inexpressible, covered by the recall
+    pytest on q_embedding_lsh_topk."""
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.lsh_topk(emb, queries, k=5, n_planes=0)
+    return out.select(
+        "query_id", "neighbor_id", F.col("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_embedding_ivf_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with ``n_probe == n_cells``: every cell is probed, so the result
     is provably identical to brute force (similarity.ivf_topk docstring +
@@ -708,8 +726,24 @@ def q_model_lang_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CORPUS_N = 512
+
+
+def _corpus_gen_tag() -> str:
+    """Fingerprint of the generator source: a cached golden parquet from
+    an older generator version must never satisfy the oracle."""
+    import hashlib
+    import inspect
+
+    from . import corpus as _corpus_mod
+
+    return hashlib.sha256(
+        inspect.getsource(_corpus_mod).encode()
+    ).hexdigest()[:10]
+
+
 _CORPUS_GOLDEN = os.path.join(
-    tempfile.gettempdir(), f"ots_corpus_golden_{_CORPUS_N}.parquet"
+    tempfile.gettempdir(),
+    f"ots_corpus_golden_{_CORPUS_N}_{_corpus_gen_tag()}.parquet",
 )
 
 
@@ -998,6 +1032,7 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_lsh_onebucket": q_embedding_lsh_onebucket,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_ivf_topk_fullprobe": q_embedding_ivf_topk_fullprobe,
     "manual_override": q_manual_override,
@@ -1198,6 +1233,25 @@ ORACLE_SQL: dict[str, str] = {
               CAST(sa.set_size + sb.set_size - shared AS DOUBLE) >= 0.5
     """,
     "embedding_topk": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+              FROM e WHERE list_sum(list_transform(v, x -> x*x)) > 0),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, len(q.v)+1),
+                   i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cosine
+          FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
+    # zero-plane LSH = one bucket = brute force, so the exact-cosine SQL
+    # oracles the LSH bucket-join machinery (see q_embedding_lsh_onebucket)
+    "embedding_lsh_onebucket": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings),
         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm

@@ -41,10 +41,15 @@ def _stack(col: pd.Series) -> np.ndarray:
 
 def _ordered_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Row-wise dot accumulated in index order (cross-engine bit-identical):
-    vectorized across rows, sequential across the dimension."""
+    vectorized across rows, sequential across the dimension.  In-place
+    accumulation into preallocated buffers — the SAME additions in the
+    SAME order as ``acc = acc + a_i * b_i`` (so still bit-identical to the
+    SQL left fold), minus two temporaries per dimension."""
     acc = np.zeros(a.shape[0], dtype=np.float64)
+    tmp = np.empty_like(acc)
     for i in range(a.shape[1]):
-        acc = acc + a[:, i] * b[:, i]
+        np.multiply(a[:, i], b[:, i], out=tmp)
+        acc += tmp
     return acc
 
 
@@ -132,10 +137,13 @@ def brute_force_topk(
                     continue
             # index-ordered accumulation per (corpus row, query) pair:
             # outer products column by column — bit-identical to the
-            # per-pair left fold, vectorized across the whole batch
+            # per-pair left fold, vectorized across the whole batch;
+            # in-place into preallocated buffers (same adds, same order)
             acc = np.zeros((len(c_ids), len(q_ids)), dtype=np.float64)
+            tmp = np.empty_like(acc)
             for i in range(c_mat.shape[1]):
-                acc = acc + c_mat[:, i, None] * q_mat[None, :, i]
+                np.multiply(c_mat[:, i, None], q_mat[None, :, i], out=tmp)
+                acc += tmp
             cos = acc / (c_norm[:, None] * q_norm[None, :])
             for qi in range(len(q_ids)):
                 col = cos[:, qi]

@@ -47,14 +47,25 @@ def load(
     math) — at warehouse scale the scan's own input splits provide this
     for free, but the sf* fixtures are one row-group each, which would
     otherwise pin the whole query to one task.  The fan-out is CONDITIONAL
-    on the scan actually being under-split: when the source already yields
-    >= half the cores' worth of splits, the exchange is pure overhead
-    (r2's across-the-board sub-second regressions) and is skipped."""
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    (skipped when the scan already yields >= half the cores' worth of
+    splits — the exchange is pure overhead then) and SIZED to the data:
+    one task per Arrow batch (256 rows), capped at the core count, read
+    from the parquet footer without running a job — fanning a 2k-row
+    table to 32 tasks costs ~2x the whole query in scheduler/worker
+    round-trips (r2's embedding_topk regression)."""
+    path = f"{sf_dir}/{table}.parquet"
+    df = spark.read.parquet(path)
     if parallel:
         cores = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < max(cores // 2, 2):
-            df = df.repartition(cores)
+            width = cores
+            if os.path.isfile(path):
+                import pyarrow.parquet as pq
+
+                rows = pq.ParquetFile(path).metadata.num_rows
+                width = max(2, min(cores, rows // 256))
+            if width > df.rdd.getNumPartitions():
+                df = df.repartition(width)
     return df
 
 

@@ -267,6 +267,32 @@ class IcebergWarehouse:
             self.spark.sql(f"DROP TABLE IF EXISTS {handle}")
         return self._publish_log([table], commit_uuid)
 
+    def upsert(
+        self, spark: SparkSession, df: DataFrame, table: str, keys: list[str]
+    ) -> int:
+        """Last-write-wins upsert (ref views.py:370-377
+        ``set_manual_translation``: update the existing row's result if
+        the key exists, insert otherwise) — the complement of
+        :meth:`merge`'s first-writer-wins get_or_create.  Runs a real
+        row-level ``MERGE INTO ... WHEN MATCHED THEN UPDATE``."""
+        commit_uuid = uuid.uuid4().hex
+        handle = self.stage(df.dropDuplicates(keys), table)
+        full = self._full(table)
+        try:
+            self._rollback_orphans(table)
+            if not self.spark.catalog.tableExists(full):
+                self.spark.table(handle).writeTo(full).create()
+            else:
+                cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+                self.spark.sql(
+                    f"MERGE INTO {full} t USING {handle} s ON {cond} "
+                    "WHEN MATCHED THEN UPDATE SET * "
+                    "WHEN NOT MATCHED THEN INSERT *"
+                )
+        finally:
+            self.spark.sql(f"DROP TABLE IF EXISTS {handle}")
+        return self._publish_log([table], commit_uuid)
+
     def write(self, df: DataFrame, table: str) -> int:
         return self.commit({table: [self.stage(df, table)]})
 
@@ -382,11 +408,17 @@ class Warehouse:
 
         shutil.rmtree(handle, ignore_errors=True)
 
-    def commit(self, staged: dict[str, list[str]]) -> int:
+    def commit(
+        self, staged: dict[str, list[str]], replace: "set[str] | None" = None
+    ) -> int:
         """Atomically publish staged directories for one or more tables.
 
         Returns the new snapshot id.  ``staged`` maps table name -> list of
-        directories previously returned by :meth:`stage`.
+        directories previously returned by :meth:`stage`.  Tables named in
+        ``replace`` have their directory list REPLACED by the staged dirs
+        (full-table rewrite, the emulation's row-level-update stand-in)
+        instead of extended; earlier manifests still reference the old
+        dirs, so time travel is unaffected.
 
         Concurrent-writer safe (optimistic concurrency, the same protocol
         Iceberg's catalog runs): the manifest is published with an atomic
@@ -396,6 +428,7 @@ class Warehouse:
         its new parent and retries, so both commits land, serialized, each
         containing the other's tables.  Staged data directories are
         writer-private, so retries never re-write data."""
+        replace = replace or set()
         tmp = os.path.join(self._snapshot_dir(), f".tmp-{uuid.uuid4().hex}.json")
         try:
             while True:
@@ -404,7 +437,10 @@ class Warehouse:
                 tables = {k: list(v) for k, v in manifest["tables"].items()}
                 for table, dirs in staged.items():
                     rel = [os.path.relpath(d, self.root) for d in dirs]
-                    tables.setdefault(table, []).extend(rel)
+                    if table in replace:
+                        tables[table] = rel
+                    else:
+                        tables.setdefault(table, []).extend(rel)
                 new_id = parent + 1
                 payload = {"id": new_id, "parent": parent, "tables": tables}
                 with open(tmp, "w", encoding="utf-8") as fh:
@@ -438,6 +474,25 @@ class Warehouse:
             current.select(*keys).dropDuplicates(keys), keys, "left_anti"
         )
         return self.commit({table: [self.stage(delta, table)]})
+
+    def upsert(
+        self, spark: SparkSession, df: DataFrame, table: str, keys: list[str]
+    ) -> int:
+        """Last-write-wins upsert (ref views.py:370-377
+        ``set_manual_translation``: update if the key exists, insert
+        otherwise) — the complement of :meth:`merge`.  The Iceberg branch
+        runs a row-level ``MERGE ... WHEN MATCHED THEN UPDATE``; the
+        parquet emulation rewrites the table under a replace-commit
+        (appropriate for the human-curated dimensions this serves —
+        overrides/dictionaries — which are tiny next to the corpus;
+        corpus-scale tables use :meth:`merge`/append instead)."""
+        current = self.read(spark, table, schema=df.schema)
+        fresh = df.dropDuplicates(keys)
+        kept = current.join(fresh.select(*keys), keys, "left_anti")
+        merged = fresh.unionByName(kept)
+        return self.commit(
+            {table: [self.stage(merged, table)]}, replace={table}
+        )
 
     # -- read ------------------------------------------------------------
 

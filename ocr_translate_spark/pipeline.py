@@ -202,6 +202,35 @@ def read_extracted(
     return out
 
 
+def set_overrides(
+    spark: SparkSession, warehouse_root: str, overrides: DataFrame
+) -> int:
+    """Persist manual overrides with UPDATE-IF-EXISTS semantics (ref
+    views.py:345-379 ``set_manual_translation``: an existing manual entry
+    for the same key gets its result text REPLACED, a new key inserts) —
+    last-write-wins via Warehouse.upsert.  Returns the snapshot id."""
+    wh = open_warehouse(spark, warehouse_root)
+    return wh.upsert(
+        spark, overrides.select("url", "text"), "overrides", ["url"]
+    )
+
+
+def read_extracted_with_overrides(
+    spark: SparkSession,
+    warehouse_root: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """read_extracted + the committed ``overrides`` table applied (J5
+    manual-priority join): the end-to-end form of the reference's
+    favor_manual read path (ref models/tsl.py:216-235,269-271)."""
+    from .schemas import OVERRIDES
+
+    wh = open_warehouse(spark, warehouse_root)
+    ext = read_extracted(spark, warehouse_root, snapshot_id=snapshot_id)
+    ov = wh.read(spark, "overrides", schema=OVERRIDES, snapshot_id=snapshot_id)
+    return apply_overrides(ext, ov)
+
+
 def apply_overrides(extracted: DataFrame, overrides: DataFrame) -> DataFrame:
     """Manual-override priority join (J5, ref models/tsl.py:216-235,269-271).
 

@@ -39,9 +39,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # large html payloads: keep Arrow batches bounded by rows so a batch
-        # of giant pages cannot blow the python worker (north_star C4 analog)
+        # large html payloads: bound Arrow batches by rows AND bytes so a
+        # run of giant co-located pages (web corpora are host-clustered;
+        # single pages reach many MB) cannot blow the python worker — the
+        # row cap alone admits 256 × pagesize bytes per batch
+        # (north_star C4 analog; the byte bound is verified effective on
+        # the batched mapInPandas input path in Spark 4.1)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         # shuffle/spill on tmpfs: this box's /tmp is a single disk, which

@@ -73,6 +73,7 @@ def run_once(cpus: int, corpus: str, pyfiles: str) -> dict:
         "--conf", "spark.ui.enabled=false",
         "--conf", f"spark.sql.shuffle.partitions={cpus}",
         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=256",
+        "--conf", f"spark.sql.execution.arrow.maxBytesPerBatch={64 * 1024 * 1024}",
         "--driver-memory", "32g",
         "--py-files", pyfiles,
         os.path.join(REPO, "scripts", "run_pipeline.py"),

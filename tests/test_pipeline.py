@@ -202,6 +202,10 @@ def test_iceberg_warehouse_roundtrip(spark, tmp_path):
     wh.merge(spark, kv2, "ledger", ["k"])
     got = {r["k"]: r["v"] for r in wh.read(spark, "ledger").collect()}
     assert got == {1: "a", 2: "b", 3: "c"}  # first writer wins on k=2
+    # upsert: WHEN MATCHED THEN UPDATE — last writer wins
+    wh.upsert(spark, kv2, "ledger", ["k"])
+    got = {r["k"]: r["v"] for r in wh.read(spark, "ledger").collect()}
+    assert got == {1: "a", 2: "X", 3: "c"}
 
 
 def test_emulation_commit_survives_publish_race(spark, tmp_path, monkeypatch):
@@ -365,6 +369,81 @@ def test_options_hash_canonicalization():
     assert base.options_hash() != ExtractOptions(granularity="single").options_hash()
     # the default key is the hash of the empty delta — stable forever
     assert base.options_hash() == hashlib.sha256(b"{}").hexdigest()[:16]
+
+
+def test_set_overrides_insert_then_update(spark, tmp_path):
+    """Manual-override upsert semantics (ref views.py:345-379 +
+    tests/views/test_set_manual_translation.py success_new/success_exist):
+    a new key inserts; re-setting an existing key REPLACES its text
+    (last-write-wins), and the applied read reflects it."""
+    from ocr_translate_spark.pipeline import (
+        read_extracted_with_overrides,
+        set_overrides,
+    )
+
+    root = str(tmp_path / "wh")
+    pages = pages_df(spark, 16, partitions=2)
+    run_extraction(spark, pages, root)
+    urls = [r["url"] for r in pages.select("url").limit(2).collect()]
+
+    ov1 = spark.createDataFrame([(urls[0], "MANUAL v1")], "url string, text string")
+    set_overrides(spark, root, ov1)  # success_new
+    got = {r["url"]: (r["final_text"], r["is_manual"])
+           for r in read_extracted_with_overrides(spark, root).collect()}
+    assert got[urls[0]] == ("MANUAL v1", True)
+    assert got[urls[1]][1] is False
+
+    ov2 = spark.createDataFrame(
+        [(urls[0], "MANUAL v2"), (urls[1], "MANUAL other")],
+        "url string, text string",
+    )
+    set_overrides(spark, root, ov2)  # success_exist: v1 -> v2 replaced
+    got = {r["url"]: (r["final_text"], r["is_manual"])
+           for r in read_extracted_with_overrides(spark, root).collect()}
+    assert got[urls[0]] == ("MANUAL v2", True)
+    assert got[urls[1]] == ("MANUAL other", True)
+    # overrides table itself stays key-unique across upserts
+    from ocr_translate_spark.schemas import OVERRIDES
+    ov_tab = Warehouse(root).read(spark, "overrides", schema=OVERRIDES)
+    assert ov_tab.count() == 2
+    # extraction results were untouched (the override joins read-side)
+    assert read_extracted(spark, root).count() == 16
+
+
+def test_giant_pages_byte_bounded_batches(spark, tmp_path):
+    """C4: Arrow batches into the extraction stage are bounded by BYTES as
+    well as rows — a run of giant co-located pages must arrive chunked
+    (the row cap alone would admit 256 × pagesize per batch), and the
+    extraction must stay byte-identical."""
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.maxBytesPerBatch")
+        == str(64 * 1024 * 1024)
+    )
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    big = "word " * 400_000  # ~2 MB of text per page
+    html = f"<html><body><article><p>{big.strip()}</p></article></body></html>"
+    pages = spark.createDataFrame(
+        [(f"u{i}", bytearray(html.encode()), "en") for i in range(96)],
+        "url string, html binary, lang string",
+    ).repartition(1)
+
+    def sizes(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    batch_rows = [
+        r["n"] for r in pages.mapInPandas(sizes, "n long").collect()
+    ]
+    # 96 × ~2 MB pages on one partition: the 64 MB bound forces chunks
+    assert len(batch_rows) > 1 and max(batch_rows) < 96
+
+    from ocr_translate_spark.operators.extract import extract_pages
+
+    out = extract_pages(pages).select("url", "extracted_text").collect()
+    assert len(out) == 96
+    assert all(r["extracted_text"] == big.strip() for r in out)
 
 
 def test_legacy_hash_scheme_still_memoizes(spark):

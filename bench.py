@@ -34,6 +34,7 @@ BENCH_QUERIES = (
     "minhash_lsh",
     "simhash",
     "embedding_topk",
+    "pack_documents",
     "lang_id",
     "token_counts",
     "events_windowed",
@@ -95,25 +96,31 @@ def main() -> int:
     run_extraction(spark, pages.limit(2000), warm_wh, repartition=CPUS)
     shutil.rmtree(warm_wh, ignore_errors=True)
 
-    extract_sec = float("inf")
+    # per-rep times are recorded verbatim: the host noise is BURSTY at
+    # the seconds scale (identical reps vary 3-8x within one minute), so
+    # a best-of can still get unlucky N times — the rep list makes a
+    # noise-dominated run self-evident next to the window calibration
+    extract_reps: list[float] = []
     stats = {}
     for _ in range(max(1, N_REPS)):
         wh = tempfile.mkdtemp(prefix="bench_wh_")
         t0 = time.monotonic()
         stats = run_extraction(spark, pages, wh, repartition=parts)
-        extract_sec = min(extract_sec, time.monotonic() - t0)
+        extract_reps.append(round(time.monotonic() - t0, 3))
         shutil.rmtree(wh, ignore_errors=True)
+    extract_sec = min(extract_reps)
     timings["extract_pipeline"] = round(extract_sec, 3)
     docs_per_sec = round(stats["n_written"] / extract_sec, 2)
 
     # zero-shuffle mode: unique-url contract + size-balanced source layout
-    ns_sec = float("inf")
+    ns_reps: list[float] = []
     for _ in range(max(1, N_REPS)):
         wh = tempfile.mkdtemp(prefix="bench_whns_")
         t0 = time.monotonic()
         ns_stats = run_extraction(spark, pages, wh, assume_unique_urls=True)
-        ns_sec = min(ns_sec, time.monotonic() - t0)
+        ns_reps.append(round(time.monotonic() - t0, 3))
         shutil.rmtree(wh, ignore_errors=True)
+    ns_sec = min(ns_reps)
     timings["extract_pipeline_noshuffle"] = round(ns_sec, 3)
     docs_per_sec_noshuffle = round(ns_stats["n_written"] / ns_sec, 2)
     shutil.rmtree(os.path.dirname(corpus_dir), ignore_errors=True)
@@ -141,6 +148,8 @@ def main() -> int:
         "bench_pages": N_PAGES,
         "cpus": CPUS,
         "n_extracted": stats["n_written"],
+        "extract_pipeline_reps": extract_reps,
+        "extract_pipeline_noshuffle_reps": ns_reps,
         # hypervisor-noise calibration bracketing the run (see
         # window_quality): parallel_32 near 1.0 = clean window; wall-clock
         # numbers from windows far below ~0.7 are noise-dominated

@@ -219,14 +219,24 @@ def read_extracted_with_overrides(
     spark: SparkSession,
     warehouse_root: str,
     snapshot_id: int | None = None,
+    favor_manual: bool = True,
 ) -> DataFrame:
     """read_extracted + the committed ``overrides`` table applied (J5
     manual-priority join): the end-to-end form of the reference's
-    favor_manual read path (ref models/tsl.py:216-235,269-271)."""
+    favor_manual read path (ref models/tsl.py:216-235,269-271).
+
+    ``favor_manual=False`` disables the manual priority for this read
+    (same output schema, nothing manual), matching the reference's
+    per-run option default-True cascade (ref ocr_tsl/full.py
+    favor_manual; tests/ocr_tsl/test_full.py:83-149)."""
     from .schemas import OVERRIDES
 
     wh = open_warehouse(spark, warehouse_root)
     ext = read_extracted(spark, warehouse_root, snapshot_id=snapshot_id)
+    if not favor_manual:
+        return ext.withColumn("is_manual", F.lit(False)).withColumn(
+            "final_text", F.col("extracted_text")
+        )
     ov = wh.read(spark, "overrides", schema=OVERRIDES, snapshot_id=snapshot_id)
     return apply_overrides(ext, ov)
 

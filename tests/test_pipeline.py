@@ -406,6 +406,11 @@ def test_set_overrides_insert_then_update(spark, tmp_path):
     from ocr_translate_spark.schemas import OVERRIDES
     ov_tab = Warehouse(root).read(spark, "overrides", schema=OVERRIDES)
     assert ov_tab.count() == 2
+    # favor_manual=False disables the priority per read (ref full.py
+    # option cascade, default True)
+    plain = read_extracted_with_overrides(spark, root, favor_manual=False)
+    assert plain.filter(plain.is_manual).count() == 0
+    assert plain.count() == 16
     # extraction results were untouched (the override joins read-side)
     assert read_extracted(spark, root).count() == 16
 

@@ -209,7 +209,14 @@ def extract_pages(
     off for the two sinks.
     """
     options = options or ExtractOptions()
-    src = df.withColumn("input_split", F.input_file_name())
+    # lineage: callers that join the scan with other file sources first
+    # (the memo anti-join against the parquet runs ledger) MUST attach
+    # input_split at scan time — input_file_name() above a multi-source
+    # plan is an AnalysisException (caught by the 1M-page resume probe);
+    # pipeline.run_extraction does, this fallback covers direct callers
+    src = df if "input_split" in df.columns else df.withColumn(
+        "input_split", F.input_file_name()
+    )
     src = src.select("url", "html", "lang", "input_split")
     dedupe_in_stage = False
     if repartition:

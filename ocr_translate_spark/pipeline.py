@@ -107,6 +107,13 @@ def run_extraction(
     wh = open_warehouse(spark, warehouse_root)
     run_id = uuid.uuid4().hex[:12]
 
+    # capture per-row lineage at SCAN time: once the ledger anti-join puts
+    # a second file source in the plan, input_file_name() can no longer
+    # resolve (MULTI_SOURCES_UNSUPPORTED) — hit on every resume run where
+    # both pages and the runs ledger are parquet-backed
+    if "input_split" not in pages.columns:
+        pages = pages.withColumn("input_split", F.input_file_name())
+
     runs = wh.read(spark, "runs", schema=RUNS)
     todo = pending_pages(
         pages, runs, options.accepted_hashes(), force=force,

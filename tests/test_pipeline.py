@@ -85,6 +85,26 @@ def test_force_recomputes(spark, tmp_path):
     assert read_extracted(spark, root).count() == 32
 
 
+def test_resume_with_parquet_pages_and_ledger(spark, tmp_path):
+    """Regression (found by a 1M-page probe): when BOTH the pages input
+    and the runs ledger are parquet-backed — the production shape of
+    every resume — the plan has two file sources, and input_file_name()
+    evaluated above the memo join is an AnalysisException.  Lineage must
+    be captured at scan time."""
+    root = str(tmp_path / "wh")
+    pages_dir = str(tmp_path / "pages")
+    pages_df(spark, 24, partitions=2).write.parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+    first = run_extraction(spark, pages, root)
+    assert first["n_written"] == 24
+    second = run_extraction(spark, spark.read.parquet(pages_dir), root)
+    assert second["n_written"] == 0  # memoized, and the plan resolves
+    # lineage still points at the real input splits
+    metrics = Warehouse(root).read(spark, "metrics", schema=METRICS)
+    splits = [r["input_split"] for r in metrics.collect() if r["row_count"]]
+    assert splits and all("pages" in s for s in splits)
+
+
 def test_resume_after_partial_commit(spark, tmp_path):
     """Kill-and-restart: pages committed before the 'crash' are not
     recomputed; the union equals a clean full run (north_rule resume)."""

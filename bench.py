@@ -35,6 +35,8 @@ BENCH_QUERIES = (
     "simhash",
     "embedding_topk",
     "pack_documents",
+    "gopher_rules",
+    "bm25_search",
     "lang_id",
     "token_counts",
     "events_windowed",

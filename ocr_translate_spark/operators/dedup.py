@@ -144,6 +144,65 @@ def jaccard_pairs(
     return out
 
 
+def shared_ngram_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 16,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Exact substring-collision pairs (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): documents sharing at
+    least one exact ``n``-word gram — the standard complement to
+    MinHash's set-resemblance signal for catching verbatim boilerplate /
+    quoted passages that near-dup measures dilute.
+
+    Returns (id_a, id_b, shared_grams) where shared_grams counts the
+    DISTINCT n-grams the pair has in common.
+
+    Scale design: grams are 60-bit portable hashes (md5-derived, same
+    scheme as textstats.rolling_fingerprint_portable, so the DuckDB
+    oracle replays them exactly) — 8 bytes ride the equi-join, never the
+    gram text.  The gram equi-join prunes the pair space exactly like
+    jaccard_pairs' shingle join, and ``max_gram_df`` drops grams whose
+    document frequency exceeds the cap BEFORE the self-join — a hot gram
+    (site-wide boilerplate hitting k docs) otherwise emits O(k^2) join
+    rows.  Under the cap, reported shared counts are a lower bound and
+    pairs sharing exclusively-hot grams are missed (the standard trade:
+    hot boilerplate grams carry no pairing signal a curator acts on
+    per-pair — they're what a frequency-based line-dedup pass removes).
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda x: x != F.lit("")
+    )
+    n_words = F.size(words)
+    idx = F.sequence(F.lit(0), n_words - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))), 1, 15),
+            16, 10,
+        ).cast("long"),
+    )
+    g = df.filter(n_words >= n).select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    if max_gram_df is not None:
+        rare = (
+            g.groupBy("gram")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_gram_df)
+            .select("gram")
+        )
+        g = g.join(rare, "gram")
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("shared_grams"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:

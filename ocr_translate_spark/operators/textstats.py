@@ -127,6 +127,97 @@ def repetition_stats(df, id_col: str, text_col: str):
     )
 
 
+# Gopher quality-filter heuristics (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", App. A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+BULLET_LINE_REGEX = r"^\s*[-*•]"
+ELLIPSIS_LINE_REGEX = r"(\.\.\.|…)\s*$"
+
+
+def gopher_rules(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+):
+    """Per-document Gopher rule metrics + a ``passes`` verdict — the
+    standard pre-training quality gate (word-count bounds, mean word
+    length, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, distinct-stopword floor).
+
+    Everything is native column expressions over the one text column — a
+    narrow map with NO shuffle and no Python, so at 100 TB this runs at
+    scan speed and Catalyst prunes the read to (id, text).  All ratios
+    are exact IEEE divisions of integer counts and every regex is
+    RE2-compatible, so the DuckDB oracle reproduces each metric
+    bit-for-bit (same discipline as :func:`quality_score`).
+    """
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+", -1), lambda x: x != F.lit(""))
+    low = F.filter(F.split(F.lower(text), r"\s+", -1), lambda x: x != F.lit(""))
+    lines = F.split(text, "\n", -1)
+
+    n_words = F.size(words).cast("long")
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    nw_d = n_words.cast("double")
+    mean_word_len = F.when(n_words > 0, sum_len.cast("double") / nw_d).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    alpha_word_frac = F.when(n_words > 0, alpha.cast("double") / nw_d).otherwise(F.lit(0.0))
+    # Gopher's "symbols": '#' occurrences plus '...'/'…' ellipses
+    hash_cnt = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ell_cnt = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\.|…"), F.lit(0)))
+    symbol_word_ratio = F.when(
+        n_words > 0, (hash_cnt + ell_cnt).cast("double") / nw_d
+    ).otherwise(F.lit(0.0))
+    n_lines = F.size(lines).cast("double")  # split() yields >= 1 line
+    bullet_line_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike(BULLET_LINE_REGEX))).cast("double")
+        / n_lines
+    )
+    ellipsis_line_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike(ELLIPSIS_LINE_REGEX))).cast("double")
+        / n_lines
+    )
+    stop_hits = F.lit(0)
+    for w in GOPHER_STOPWORDS:
+        stop_hits = stop_hits + F.array_contains(low, w).cast("int")
+    stop_hits = stop_hits.cast("long")
+
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        bullet_line_frac.alias("bullet_line_frac"),
+        ellipsis_line_frac.alias("ellipsis_line_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stop_hits") >= min_stopword_hits),
+    )
+
+
 def rolling_fingerprint_portable(text: Column, window: int = 8) -> Column:
     """Same winnowing structure with a portable gram hash — the first 15
     hex digits of md5 as a 60-bit integer — computable identically in

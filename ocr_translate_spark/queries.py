@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from .corpus import pages_df, pages_pandas
 from .kernels.pdf_extract import make_pdf
 from .operators import dedup, multimodal, similarity, textstats
+from .operators import search as _search
 from .operators.extract import extract_pages
 from .operators.normalize import restore_dash_newlines_col
 from .streaming.events import windowed_counts
@@ -234,6 +235,35 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(docs, "doc_id", "text")
 
 
+# Thresholds for the registered gopher_rules query, tuned so the synthetic
+# corpus produces a genuine true/false mix (its docs average ~4.3-char
+# words, always alphabetic, and carry 'the' but few other Gopher
+# stopwords; the paper defaults would fail every doc on stopword count).
+GOPHER_QUERY_KWARGS = dict(min_words=40, min_stopword_hits=1)
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021 App. A1.1): per-doc
+    word-count / mean-word-length / symbol-ratio / bullet & ellipsis
+    line-fraction / alphabetic-fraction / stopword metrics + `passes`."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.gopher_rules(docs, "doc_id", "text", **GOPHER_QUERY_KWARGS)
+
+
+# A fixed bag-of-words probe over the synthetic corpus vocabulary; terms
+# chosen with distinct document frequencies so the idf weights differ.
+BM25_TERMS = ("data", "vector", "query")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k lexical retrieval (search.bm25_topk, exact_math idf —
+    see operators/search.py for the cross-engine determinism story)."""
+    from .operators import search
+
+    docs = load(spark, sf_dir, "documents")
+    return search.bm25_topk(docs, BM25_TERMS, top_k=25, exact_math=True)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: strided word chunks with overlap
     (curation.chunk_documents; 32-token windows, 4-token overlap)."""
@@ -321,6 +351,19 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.jaccard_pairs(both, "doc_id", "text", n=3, threshold=0.5)
     # raw double: a ratio of identical ints is bit-identical across engines
     return pairs.select("id_a", "id_b", "jaccard")
+
+
+def q_shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-collision dedup (Lee et al. 2022): pairs sharing a
+    verbatim 16-word gram, over planted near-duplicates (the first-word
+    mutation leaves every gram past word 16 identical)."""
+    docs = load(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"^([^ ]*) ", "changedword ").alias("text"),
+    )
+    both = docs.union(mutated)
+    return dedup.shared_ngram_pairs(both, "doc_id", "text", n=16, max_gram_df=50)
 
 
 _SEP = "\x1e"  # gram/token joiner for exact-verify keys (never in words)
@@ -791,6 +834,31 @@ def q_extract_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ext.select("url", "extracted_text")
 
 
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level corpus stats (domain quotas / blocklists — the standard
+    web-curation roll-up): parse the host out of each url, aggregate page
+    counts and text volume per host.  The synthetic corpus plants real
+    host skew (host0 carries the giant-page class), so this is also the
+    query that would surface a skewed-host distribution before the salted
+    repartition is sized.  One hash aggregate on a low-cardinality key —
+    partial (map-side) aggregation makes it a keys-only shuffle at any
+    corpus size."""
+    _ensure_corpus_golden()
+    pages = pages_df(spark, _CORPUS_N, partitions=8)
+    host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)/", 1)
+    return (
+        pages.select(host.alias("host"), F.length("text").cast("long").alias("_nc"))
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.sum("_nc").alias("total_chars"),
+            (F.sum("_nc").cast("double") / F.count("*").cast("double")).alias(
+                "avg_chars"
+            ),
+        )
+    )
+
+
 def q_base64_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S2/F10: base64 payload decode + md5 integrity verification
     (ref views.py:264-268)."""
@@ -1022,6 +1090,7 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_stats": q_extract_stats,
     "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
     "extract_corpus": q_extract_corpus,
+    "host_stats": q_host_stats,
     "normalize_dash": q_normalize_dash,
     "tokenize_breakchars": q_tokenize_breakchars,
     "nospace_cleanup": q_nospace_cleanup,
@@ -1035,9 +1104,12 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_val_split": q_train_val_split,
     "pii_scrub": q_pii_scrub,
     "repetition_stats": q_repetition_stats,
+    "gopher_rules": q_gopher_rules,
+    "bm25_search": q_bm25_search,
     "common_words": q_common_words,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
+    "shared_ngram_pairs": q_shared_ngram_pairs,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
@@ -1084,6 +1156,13 @@ ORACLE_SQL: dict[str, str] = {
     "extract_corpus": (
         "SELECT url, text AS extracted_text "
         f"FROM read_parquet('{_CORPUS_GOLDEN}')"
+    ),
+    "host_stats": (
+        "SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host, "
+        "CAST(count(*) AS BIGINT) AS n_pages, "
+        "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
+        "CAST(sum(length(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars "
+        f"FROM read_parquet('{_CORPUS_GOLDEN}') GROUP BY 1"
     ),
     "extract_stats": (
         "SELECT doc_id, md5(text) AS content_md5, "
@@ -1210,6 +1289,68 @@ ORACLE_SQL: dict[str, str] = {
           SELECT unnest({_WORDS}) AS word FROM documents)
         GROUP BY word ORDER BY n DESC, word LIMIT 20
     """,
+    # mirrors textstats.gopher_rules with GOPHER_QUERY_KWARGS thresholds;
+    # double literals go through CAST('<repr>' AS DOUBLE) (strtod) so the
+    # comparison constants are the very doubles Spark's literals carry
+    "gopher_rules": r"""
+        WITH s AS (
+          SELECT doc_id, text,
+            list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words,
+            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS low,
+            string_split(text, chr(10)) AS lines
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+            CAST(len(words) AS BIGINT) AS n_words,
+            CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+                 AS DOUBLE) AS sum_len,
+            CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                 AS BIGINT) AS alpha,
+            CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+              + CAST(len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS sym,
+            CAST(len(lines) AS DOUBLE) AS n_lines,
+            CAST(len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]')))
+                 AS DOUBLE) AS bullet_lines,
+            CAST(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
+                 AS DOUBLE) AS ell_lines,
+            CAST((CASE WHEN list_contains(low, 'the') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(low, 'be') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(low, 'to') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(low, 'of') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(low, 'and') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(low, 'that') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(low, 'have') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(low, 'with') THEN 1 ELSE 0 END)
+               AS BIGINT) AS stop_hits
+          FROM s),
+        r AS (
+          SELECT doc_id, n_words,
+            CASE WHEN n_words > 0 THEN sum_len / CAST(n_words AS DOUBLE)
+                 ELSE CAST('0.0' AS DOUBLE) END AS mean_word_len,
+            CASE WHEN n_words > 0 THEN CAST(alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+                 ELSE CAST('0.0' AS DOUBLE) END AS alpha_word_frac,
+            CASE WHEN n_words > 0 THEN CAST(sym AS DOUBLE) / CAST(n_words AS DOUBLE)
+                 ELSE CAST('0.0' AS DOUBLE) END AS symbol_word_ratio,
+            bullet_lines / n_lines AS bullet_line_frac,
+            ell_lines / n_lines AS ellipsis_line_frac,
+            stop_hits
+          FROM m)
+        SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+          symbol_word_ratio, bullet_line_frac, ellipsis_line_frac, stop_hits,
+          (n_words >= 40 AND n_words <= 100000
+           AND mean_word_len >= CAST('3.0' AS DOUBLE)
+           AND mean_word_len <= CAST('10.0' AS DOUBLE)
+           AND symbol_word_ratio <= CAST('0.1' AS DOUBLE)
+           AND bullet_line_frac <= CAST('0.9' AS DOUBLE)
+           AND ellipsis_line_frac <= CAST('0.3' AS DOUBLE)
+           AND alpha_word_frac >= CAST('0.8' AS DOUBLE)
+           AND stop_hits >= 1) AS passes
+        FROM r
+    """,
+    # generated from the same (terms, k1, b, top_k) the query uses, so the
+    # two sides can never drift apart (see bm25_oracle_sql's determinism
+    # contract in operators/search.py)
+    "bm25_search": _search.bm25_oracle_sql(BM25_TERMS, top_k=25),
     "dedup_exact": """
         WITH both_t AS (
           SELECT doc_id, text FROM documents
@@ -1242,6 +1383,26 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(shared AS DOUBLE) /
               CAST(sa.set_size + sb.set_size - shared AS DOUBLE) >= 0.5
+    """,
+    "shared_ngram_pairs": r"""
+        WITH both_t AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000,
+                 regexp_replace(text, '^([^ ]*) ', 'changedword ') FROM documents),
+        w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                x -> x <> '') AS words FROM both_t),
+        g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(0, len(words)-16+1),
+                 i -> CAST(('0x' || substr(md5(array_to_string(words[i+1:i+16], ' ')),
+                            1, 15)) AS BIGINT)))) AS gram
+              FROM w WHERE len(words) >= 16),
+        rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 50),
+        gr AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS shared_grams
+        FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
     """,
     "embedding_topk": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

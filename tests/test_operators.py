@@ -524,3 +524,128 @@ def test_scrub_pii(spark):
     got = [r[0] for r in df.select(curation.scrub_pii(F.col("text"))).collect()]
     assert got[0] == "write to <EMAIL> or call <PHONE> now"
     assert got[1] == "no pii here"
+
+
+# ------------------------------------------------------------ gopher rules
+
+def test_gopher_rules_metrics(spark):
+    from ocr_translate_spark.operators.textstats import gopher_rules
+
+    good = "the quick brown fox jumps over lazy dogs with vigor and style " * 10
+    bullets = "- one\n- two\n- three"
+    symbols = "the " + "# " * 30
+    ellipses = "the end...\nwait...\nmore...\nhello there"
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, symbols), (4, ellipses), (5, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text").collect()}
+    assert rows[1]["passes"] and rows[1]["n_words"] == 120
+    assert rows[1]["alpha_word_frac"] == 1.0 and rows[1]["stop_hits"] >= 3
+    assert rows[2]["bullet_line_frac"] == 1.0 and not rows[2]["passes"]
+    assert rows[3]["symbol_word_ratio"] > 0.9 and not rows[3]["passes"]
+    assert rows[4]["ellipsis_line_frac"] == 0.75 and not rows[4]["passes"]
+    # empty doc: every ratio defined (0.0), fails on word count
+    assert rows[5]["n_words"] == 0 and rows[5]["mean_word_len"] == 0.0
+    assert not rows[5]["passes"]
+
+
+def test_gopher_rules_thresholds_configurable(spark):
+    from ocr_translate_spark.operators.textstats import gopher_rules
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat sat with that bat " * 3)],
+        "doc_id long, text string",
+    )
+    strict = gopher_rules(df, "doc_id", "text").first()
+    relaxed = gopher_rules(df, "doc_id", "text", min_words=5).first()
+    assert not strict["passes"] and relaxed["passes"]
+
+
+# ------------------------------------------------------------ BM25 search
+
+def test_bm25_ranking_sanity(spark):
+    from ocr_translate_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "data data data filler filler filler"),
+            (2, "data filler filler filler filler filler"),
+            (3, "filler filler filler filler filler filler"),
+            (4, "data data data"),  # same tf as 1, shorter doc
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, ("data",), top_k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids  # zero-score docs excluded
+    assert ids[0] == 4  # shorter doc with same tf outranks (length norm)
+    assert ids.index(1) < ids.index(2)  # higher tf outranks
+
+
+def test_bm25_exact_math_single_term_order_identical(spark, documents):
+    # single-term query: the idf is one constant positive factor, so the
+    # log and odds-ratio variants rank identically (multi-term queries
+    # deliberately reweight terms — see the module docstring)
+    from ocr_translate_spark.operators.search import bm25_topk
+
+    log_ids = [r["doc_id"] for r in bm25_topk(documents, ("data",), top_k=15).collect()]
+    exact_ids = [
+        r["doc_id"]
+        for r in bm25_topk(documents, ("data",), top_k=15, exact_math=True).collect()
+    ]
+    assert log_ids == exact_ids
+
+
+def test_bm25_rejects_empty_query(spark, documents):
+    from ocr_translate_spark.operators.search import bm25_topk
+
+    with pytest.raises(ValueError):
+        bm25_topk(documents, ())
+
+
+# ------------------------------------------------------------ exact substring pairs
+
+def test_shared_ngram_pairs_plants_and_cap(spark):
+    from ocr_translate_spark.operators.dedup import shared_ngram_pairs
+
+    passage = " ".join(f"w{i}" for i in range(20))  # 20-word verbatim passage
+    boiler = " ".join(f"b{i}" for i in range(8))    # 8-word boilerplate
+    df = spark.createDataFrame(
+        [
+            (1, "intro one " + passage),
+            (2, "different opening words here " + passage),
+            (3, "nothing in common with the others at all " * 3),
+            (4, boiler + " unique tail four " + " ".join(f"x{i}" for i in range(10))),
+            (5, boiler + " unique tail five " + " ".join(f"y{i}" for i in range(10))),
+            (6, "short doc"),  # < n words: no grams
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_grams"]
+        for r in shared_ngram_pairs(df, "doc_id", "text", n=16).collect()
+    }
+    # docs 1/2 share every 16-gram fully inside the 20-word passage window
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    # the 8-word boilerplate alone can't form a 16-gram: 4/5 don't pair
+    assert (4, 5) not in pairs
+    assert all(3 not in p and 6 not in p for p in pairs)
+
+    # hot-gram cap: with max_gram_df=1 every shared gram is "hot" (df=2)
+    capped = shared_ngram_pairs(df, "doc_id", "text", n=16, max_gram_df=1).collect()
+    assert capped == []
+
+
+def test_shared_ngram_pairs_counts_distinct_grams(spark):
+    from ocr_translate_spark.operators.dedup import shared_ngram_pairs
+
+    rep = ("alpha beta " * 20).strip()  # repeated phrase: many duplicate grams
+    df = spark.createDataFrame(
+        [(1, rep), (2, rep)], "doc_id long, text string"
+    )
+    rows = shared_ngram_pairs(df, "doc_id", "text", n=4).collect()
+    assert len(rows) == 1
+    # only 2 distinct 4-grams exist in "alpha beta alpha beta ...":
+    # (alpha beta alpha beta) and (beta alpha beta alpha)
+    assert rows[0]["shared_grams"] == 2

@@ -108,6 +108,77 @@ def scrub_pii(text: Column) -> Column:
     return F.regexp_replace(out, PHONE_REGEX, "<PHONE>")
 
 
+def drop_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_line_frac: float = 0.3,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Corpus-frequency line dedup (C4 / CCNet boilerplate removal):
+    drop every line that occurs in more than ``max_line_frac`` of the
+    documents, rebuild each document from its surviving lines in the
+    original order.  Returns (doc_id, clean_text, n_lines,
+    n_dropped) — docs whose lines were ALL boilerplate keep an empty
+    clean_text row (the downstream length filter is where they die, per
+    C4).  A line repeated inside one document counts once toward its
+    document frequency; blank lines count like any other.
+
+    Scale design: lines explode narrowly off the scan (`posexplode`
+    keeps the original index) and the exploded table is persisted so
+    BOTH consumers — the line-frequency aggregate and the rebuild —
+    share one scan+explode of the corpus.  The document frequency of
+    each distinct line is ONE hash aggregate — partial (map-side)
+    combine collapses within-partition repeats, so the shuffle carries
+    distinct-line partials, never document payloads.  The hot set
+    (`count > frac*n_docs`-filtered, at most ``total_lines/threshold``
+    rows) comes back as a BROADCAST left join that merely FLAGS hot
+    lines; the rebuild is then a single groupBy(doc) in which
+    `collect_list`'s NULL-skipping drops the flagged lines — no
+    anti-join branch, no separate totals scan, and all-boilerplate docs
+    fall out naturally as empty strings (array_join of an empty
+    collect).  `array_sort` of (idx, line) structs makes the rebuild
+    order explicit and partitioning-invariant.  Everything is native
+    columns; the DuckDB oracle replays it with ``string_agg(line ORDER
+    BY idx)``.
+    """
+    # the corpus size anchors the fraction cutoff; pass n_docs when the
+    # caller already knows it (saves the count scan at warehouse scale)
+    if n_docs is None:
+        n_docs = df.count()
+    cutoff = max_line_frac * n_docs
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("idx", "line"),
+    ).persist()
+    hot = (
+        lines.dropDuplicates(["doc_id", "line"])
+        .groupBy("line")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > cutoff)
+        .select("line", F.lit(True).alias("_hot"))
+    )
+    flagged = lines.join(F.broadcast(hot), "line", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    # collect_list skips NULLs: hot lines vanish here
+                    F.collect_list(
+                        F.when(F.col("_hot").isNull(), F.struct("idx", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.coalesce(
+            F.sum(F.col("_hot").cast("long")), F.lit(0).cast("long")
+        ).alias("n_dropped"),
+    )
+
+
 def pack_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -66,6 +66,9 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # the corpus side is lowercased, so match terms case-insensitively
+    # (bm25_oracle_sql applies the same normalization)
+    query_terms = tuple(t.lower() for t in query_terms)
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda x: x != F.lit("")
     )
@@ -127,6 +130,8 @@ def bm25_oracle_sql(
     typed DECIMAL, whose conversion path DuckDB doesn't guarantee to
     match); ``k1 + 1.0`` is pre-computed in Python so neither engine
     re-rounds the sum."""
+
+    query_terms = tuple(t.lower() for t in query_terms)
 
     def lit(x: float) -> str:
         return f"CAST('{x!r}' AS DOUBLE)"

@@ -353,6 +353,28 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", "jaccard")
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet corpus-frequency line dedup (curation.drop_boilerplate_
+    lines): every doc is framed with a corpus-wide footer (df = 100%,
+    must drop), a per-language footer (df = that language's share), and
+    a unique line (must keep); the operator rebuilds the doc from
+    surviving lines in original order."""
+    from .operators import curation
+
+    docs = load(spark, sf_dir, "documents")
+    framed = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("all rights reserved - corpus footer"),
+            F.concat(F.lit("lang footer "), F.col("lang")),
+            F.concat(F.lit("unique line "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return curation.drop_boilerplate_lines(framed, "doc_id", "text", max_line_frac=0.3)
+
+
 def q_shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-collision dedup (Lee et al. 2022): pairs sharing a
     verbatim 16-word gram, over planted near-duplicates (the first-word
@@ -1110,6 +1132,7 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "shared_ngram_pairs": q_shared_ngram_pairs,
+    "line_dedup": q_line_dedup,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
@@ -1383,6 +1406,34 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(shared AS DOUBLE) /
               CAST(sa.set_size + sb.set_size - shared AS DOUBLE) >= 0.5
+    """,
+    "line_dedup": r"""
+        WITH framed AS (
+          SELECT doc_id,
+            text || chr(10) || 'all rights reserved - corpus footer'
+                 || chr(10) || 'lang footer ' || lang
+                 || chr(10) || 'unique line ' || CAST(doc_id AS VARCHAR) AS text
+          FROM documents),
+        nn AS (SELECT count(*) AS n_docs FROM framed),
+        l AS (SELECT doc_id,
+                generate_subscripts(lines, 1) - 1 AS idx,
+                unnest(lines) AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+                    FROM framed)),
+        dfreq AS (SELECT line, count(*) AS dfc
+                  FROM (SELECT DISTINCT doc_id, line FROM l) GROUP BY line),
+        hot AS (SELECT line FROM dfreq, nn
+                WHERE dfc > CAST('0.3' AS DOUBLE) * n_docs),
+        kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM hot)),
+        rebuilt AS (SELECT doc_id,
+                      string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+                      CAST(count(*) AS BIGINT) AS n_kept
+                    FROM kept GROUP BY doc_id),
+        totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+                   FROM l GROUP BY doc_id)
+        SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, t.n_lines,
+               CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+        FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
     """,
     "shared_ngram_pairs": r"""
         WITH both_t AS (

@@ -1,0 +1,128 @@
+"""Dedup-family capacity probe: the dedup/retrieval operators at ~20-40x
+the per-round bench scale (default 200k docs synthesized from the sf0.1
+documents table), timing each family and asserting candidate counts stay
+bounded — the evidence that the bucket-pruned designs hold as the corpus
+grows, the dedup analog of the 1M-page extraction capacity probe in
+BENCH/BASELINE.md.
+
+Corpus construction: each source doc is replicated ``--copies`` times
+with every word suffixed ``_<k>`` (copy k shares NO shingle/gram with
+copy j != k — replication adds volume, not artificial dup cliques), then
+~1/20 of the copies take their predecessor's suffix instead, planting
+exact duplicates at a realistic web dup rate.  Expected pair counts are
+therefore known in closed form and asserted, not eyeballed.
+
+Usage: PYTHONPATH=. python scripts/dedup_capacity_probe.py [--copies 40]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ocr_translate_spark.session import get_spark
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--copies", type=int, default=40)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    spark = get_spark("dedup-capacity-probe", cpus=args.cpus)
+    # sf0.1 ships a handful of naturally-duplicated source texts; drop
+    # them so the planted-dup accounting below is exact closed-form
+    docs = (
+        spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .dropDuplicates(["text"])
+    )
+    n_src = docs.count()
+
+    copies = spark.range(args.copies).withColumnRenamed("id", "k")
+    # dup planting: copy k of doc d reuses suffix k-1 when (7k+d) % 20 == 0
+    dup = (F.pmod(F.col("k") * 7 + F.col("doc_id"), F.lit(20)) == 0) & (F.col("k") > 0)
+    kk = F.when(dup, F.col("k") - 1).otherwise(F.col("k"))
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+", -1), lambda x: x != F.lit(""))
+    big = (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") * args.copies + F.col("k")).alias("id"),
+            F.array_join(
+                F.transform(words, lambda w: F.concat(w, F.lit("_"), kk)), " "
+            ).alias("text"),
+            dup.cast("int").alias("is_dup"),
+        )
+        .repartition(2 * args.cpus)
+        .persist()
+    )
+    n_docs = big.count()
+    n_planted = big.agg(F.sum("is_dup")).first()[0]
+    print(f"probe corpus: {n_docs} docs from {n_src} sources, "
+          f"{n_planted} planted exact dups", flush=True)
+
+    from ocr_translate_spark.operators import dedup, search, textstats
+
+    results = {}
+
+    t0 = time.monotonic()
+    n_groups = dedup.exact_duplicates(big, "id", "text").count()
+    results["exact_duplicates"] = time.monotonic() - t0
+    # every planted dup joins its predecessor's group; sources are unique
+    assert n_groups == n_planted, (n_groups, n_planted)
+
+    t0 = time.monotonic()
+    cands = dedup.minhash_lsh_candidates(big, "id", "text").persist()
+    n_cands = cands.count()
+    n_exact = cands.filter(F.col("est_jaccard") == 1.0).count()
+    results["minhash_lsh"] = time.monotonic() - t0
+    # every planted exact pair must band-collide; suffixing keeps copies
+    # shingle-disjoint so candidates stay ~= planted pairs (no blowup)
+    assert n_exact >= n_planted, (n_exact, n_planted)
+    assert n_cands <= 3 * n_planted, (n_cands, n_planted)
+    cands.unpersist()
+
+    # baseline: the sources naturally share verbatim 16-grams (the
+    # generator reuses sentence fragments) — measure that pair count
+    # first, since every one of the `copies` suffix groups reproduces it
+    p_nat = dedup.shared_ngram_pairs(docs, "doc_id", "text", n=16).count()
+    t0 = time.monotonic()
+    pairs = dedup.shared_ngram_pairs(big, "id", "text", n=16, max_gram_df=50)
+    n_pairs = pairs.count()
+    results["shared_ngram_pairs"] = time.monotonic() - t0
+    # pairs = planted dups (long docs only) + ~copies x natural pairs
+    # (each planted dup also mirrors its doc's natural pairs into the
+    # neighbouring suffix group, hence the small slack term)
+    bound = n_planted + (args.copies + 6) * p_nat
+    assert 0 < n_pairs <= bound, (n_pairs, n_planted, p_nat, bound)
+
+    t0 = time.monotonic()
+    n_pass = (
+        textstats.gopher_rules(big, "id", "text", min_words=40, min_stopword_hits=0)
+        .filter("passes").count()
+    )
+    results["gopher_rules"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    top = search.bm25_topk(
+        big, ("data_0", "vector_1", "query_2"), id_col="id", top_k=25
+    ).count()
+    results["bm25_search"] = time.monotonic() - t0
+    assert top == 25
+
+    print(f"gopher passing docs: {n_pass}; minhash candidates: {n_cands} "
+          f"(exact {n_exact}); shared-gram pairs: {n_pairs}", flush=True)
+    for name, sec in results.items():
+        print(f"{name:22s} {sec:8.2f} s  ({n_docs / sec:9.0f} docs/sec)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -649,3 +649,71 @@ def test_shared_ngram_pairs_counts_distinct_grams(spark):
     # only 2 distinct 4-grams exist in "alpha beta alpha beta ...":
     # (alpha beta alpha beta) and (beta alpha beta alpha)
     assert rows[0]["shared_grams"] == 2
+
+
+# ------------------------------------------------------------ line dedup
+
+def test_drop_boilerplate_lines(spark):
+    from ocr_translate_spark.operators.curation import drop_boilerplate_lines
+
+    footer = "copyright footer"
+    df = spark.createDataFrame(
+        [
+            (1, f"unique one\n{footer}\nmiddle one"),
+            (2, f"unique two\n{footer}"),
+            (3, f"unique three\n{footer}\nmiddle three"),
+            (4, footer),  # all-boilerplate doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            drop_boilerplate_lines(df, "doc_id", "text", max_line_frac=0.5).collect()}
+    assert rows[1]["clean_text"] == "unique one\nmiddle one"
+    assert rows[1]["n_lines"] == 3 and rows[1]["n_dropped"] == 1
+    assert rows[2]["clean_text"] == "unique two"
+    # all-boilerplate doc survives as an empty row (length filter kills it
+    # downstream, per C4), with full drop accounting
+    assert rows[4]["clean_text"] == "" and rows[4]["n_dropped"] == 1
+
+
+def test_drop_boilerplate_lines_in_doc_repeat_counts_once(spark):
+    from ocr_translate_spark.operators.curation import drop_boilerplate_lines
+
+    # "spam" repeats 3x inside doc 1 but appears in only 1 of 3 docs:
+    # document frequency is 1, below the 0.5 cutoff -> kept everywhere
+    df = spark.createDataFrame(
+        [(1, "spam\nspam\nspam\nbody"), (2, "other"), (3, "another")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            drop_boilerplate_lines(df, "doc_id", "text", max_line_frac=0.5).collect()}
+    assert rows[1]["clean_text"] == "spam\nspam\nspam\nbody"
+    assert rows[1]["n_dropped"] == 0
+
+
+def test_drop_boilerplate_lines_order_and_ndocs_override(spark):
+    from ocr_translate_spark.operators.curation import drop_boilerplate_lines
+
+    lines = [f"line {i:03d}" for i in range(30)]
+    df = spark.createDataFrame(
+        [(1, "\n".join(lines))], "doc_id long, text string"
+    ).repartition(4)
+    # n_docs passed explicitly: skips the count scan, same semantics.
+    # frac=1.0: nothing can exceed 100% document frequency, all lines
+    # survive (in a 1-doc corpus every line is at 100%, so any smaller
+    # cutoff would correctly drop everything)
+    row = drop_boilerplate_lines(
+        df, "doc_id", "text", max_line_frac=1.0, n_docs=1
+    ).first()
+    assert row["clean_text"] == "\n".join(lines)  # original order restored
+
+
+def test_bm25_terms_case_insensitive(spark):
+    from ocr_translate_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "Data and MORE data"), (2, "nothing relevant")],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(df, ("DATA",), top_k=5).collect()
+    assert [r["doc_id"] for r in rows] == [1]

@@ -37,6 +37,8 @@ BENCH_QUERIES = (
     "pack_documents",
     "gopher_rules",
     "bm25_search",
+    "line_dedup",
+    "decontaminate",
     "lang_id",
     "token_counts",
     "events_windowed",

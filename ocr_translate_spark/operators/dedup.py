@@ -144,6 +144,29 @@ def jaccard_pairs(
     return out
 
 
+def _word_gram_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram) rows: the DISTINCT ``n``-word grams of each document as
+    60-bit portable hashes (first 15 md5 hex digits — the scheme
+    textstats.rolling_fingerprint_portable documents, replayable in
+    DuckDB).  Narrow map + explode; docs shorter than ``n`` words emit
+    nothing."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda x: x != F.lit("")
+    )
+    n_words = F.size(words)
+    idx = F.sequence(F.lit(0), n_words - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))), 1, 15),
+            16, 10,
+        ).cast("long"),
+    )
+    return df.filter(n_words >= n).select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+
+
 def shared_ngram_pairs(
     df: DataFrame,
     id_col: str,
@@ -172,21 +195,7 @@ def shared_ngram_pairs(
     hot boilerplate grams carry no pairing signal a curator acts on
     per-pair — they're what a frequency-based line-dedup pass removes).
     """
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda x: x != F.lit("")
-    )
-    n_words = F.size(words)
-    idx = F.sequence(F.lit(0), n_words - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))), 1, 15),
-            16, 10,
-        ).cast("long"),
-    )
-    g = df.filter(n_words >= n).select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("gram")
-    )
+    g = _word_gram_table(df, id_col, text_col, n)
     if max_gram_df is not None:
         rare = (
             g.groupBy("gram")
@@ -463,4 +472,57 @@ def simhash_near_dups(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination flags (GPT-3 App. C / Llama-style eval
+    overlap removal): for every corpus document, count the distinct
+    ``n``-word grams it shares with ANY document in ``benchmark`` and
+    flag it ``contaminated`` when there is at least one hit.  13 words
+    is the GPT-3 overlap window; training on flagged docs leaks eval
+    answers, so the standard pipeline drops (or audits) them before
+    tokenization.
+
+    Returns every corpus row as (doc_id, n_hits, contaminated) —
+    callers filter ``~contaminated`` to clean, or join back for audit.
+
+    Scale design: both sides reduce to DISTINCT 60-bit gram hashes
+    (:func:`_word_gram_table` — 8 bytes per gram, never text); the
+    benchmark side additionally dedups across its documents, since "which
+    benchmark doc leaked" doesn't matter — so the join's build side is
+    bounded by the benchmark's unique gram count (eval suites are tiny
+    next to the corpus, and Spark/AQE broadcasts the gram set when it
+    fits).  The corpus side aggregates hits per doc BEFORE re-joining the
+    id spine, so the only corpus-wide operations are the gram explode and
+    one groupBy(doc).
+    """
+    corpus_grams = _word_gram_table(df, id_col, text_col, n)
+    # the benchmark side needs only the gram set — reuse the text column
+    # as a throwaway id and drop it immediately
+    bench_grams = (
+        _word_gram_table(benchmark, bench_text_col, bench_text_col, n)
+        .select("gram")
+        .dropDuplicates(["gram"])
+    )
+    hits = (
+        corpus_grams.join(bench_grams, "gram")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(hits.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
     )

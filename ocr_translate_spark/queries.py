@@ -388,6 +388,16 @@ def q_shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.shared_ngram_pairs(both, "doc_id", "text", n=16, max_gram_df=50)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 App. C 13-gram overlap): every
+    50th document stands in as the eval set; corpus docs sharing any
+    verbatim 13-gram with it are flagged (the planted members flag
+    themselves, natural verbatim sharers ride along)."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    return dedup.decontaminate(docs, bench, "doc_id", "text", n=13)
+
+
 _SEP = "\x1e"  # gram/token joiner for exact-verify keys (never in words)
 
 
@@ -1133,6 +1143,7 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_pairs": q_jaccard_pairs,
     "shared_ngram_pairs": q_shared_ngram_pairs,
     "line_dedup": q_line_dedup,
+    "decontaminate": q_decontaminate,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
@@ -1406,6 +1417,22 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(shared AS DOUBLE) /
               CAST(sa.set_size + sb.set_size - shared AS DOUBLE) >= 0.5
+    """,
+    "decontaminate": f"""
+        WITH cg AS (
+          SELECT DISTINCT doc_id,
+            CAST(('0x' || substr(md5(array_to_string(words[i+1:i+13], ' ')),
+                  1, 15)) AS BIGINT) AS gram
+          FROM (SELECT doc_id, words,
+                  unnest(range(0, len(words)-13+1)) AS i
+                FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+                WHERE len(words) >= 13)),
+        bg AS (SELECT DISTINCT gram FROM cg WHERE doc_id % 50 = 0),
+        hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                 FROM cg JOIN bg USING (gram) GROUP BY doc_id)
+        SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
     """,
     "line_dedup": r"""
         WITH framed AS (

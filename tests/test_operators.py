@@ -717,3 +717,38 @@ def test_bm25_terms_case_insensitive(spark):
     )
     rows = bm25_topk(df, ("DATA",), top_k=5).collect()
     assert [r["doc_id"] for r in rows] == [1]
+
+
+# --------------------------------------------------------- decontamination
+
+def test_decontaminate_flags_overlap(spark):
+    from ocr_translate_spark.operators.dedup import decontaminate
+
+    leak = " ".join(f"q{i}" for i in range(13))  # exactly one 13-gram
+    df = spark.createDataFrame(
+        [
+            (1, "prefix words here " + leak + " suffix words"),
+            (2, "totally unrelated text " + " ".join(f"z{i}" for i in range(20))),
+            (3, leak),  # the verbatim eval item itself
+            (4, "short doc"),  # < 13 words: can never be flagged
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(leak,)], "text string")
+    rows = {r["doc_id"]: r for r in
+            decontaminate(df, bench, "doc_id", "text", n=13).collect()}
+    assert len(rows) == 4  # every corpus row comes back, flagged or not
+    assert rows[1]["contaminated"] and rows[1]["n_hits"] == 1
+    assert rows[3]["contaminated"] and rows[3]["n_hits"] == 1
+    assert not rows[2]["contaminated"] and rows[2]["n_hits"] == 0
+    assert not rows[4]["contaminated"]
+
+
+def test_decontaminate_counts_distinct_shared_grams(spark):
+    from ocr_translate_spark.operators.dedup import decontaminate
+
+    passage = " ".join(f"p{i}" for i in range(15))  # three 13-grams
+    df = spark.createDataFrame([(1, passage)], "doc_id long, text string")
+    bench = spark.createDataFrame([(passage,)], "text string")
+    row = decontaminate(df, bench, "doc_id", "text", n=13).first()
+    assert row["n_hits"] == 3 and row["contaminated"]

@@ -39,6 +39,7 @@ BENCH_QUERIES = (
     "bm25_search",
     "line_dedup",
     "decontaminate",
+    "rarity_scores",
     "lang_id",
     "token_counts",
     "events_windowed",

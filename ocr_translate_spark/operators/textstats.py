@@ -234,3 +234,61 @@ def rolling_fingerprint_portable(text: Column, window: int = 8) -> Column:
         ).cast("long"),
     )
     return F.array_min(grams)
+
+
+def rarity_scores(df, id_col: str, text_col: str):
+    """CCNet-style statistical quality signal without the language model:
+    per-document mean and max INVERSE unigram frequency, i.e. how rare
+    this document's vocabulary is against the corpus itself.  High mean =
+    gibberish/OCR noise (CCNet's high-perplexity tail); very low mean =
+    boilerplate of corpus-dominant words.  The classic formulation is
+    mean negative log-probability; this uses the raw inverse relative
+    frequency (``N_total / count(word)``) — the monotone argument of that
+    log — because ``ln`` is only 1-ulp accurate and differs between libm
+    implementations, while +,*,/ are correctly rounded everywhere (the
+    exact_math discipline of operators/search.py).
+
+    Returns (doc_id, n_words, mean_inv_freq, max_inv_freq); docs with no
+    words emit nothing (they have no vocabulary to score).
+
+    Scale design: one unigram-count aggregate (map-side combined) over
+    the exploded words; the corpus total enters as a broadcast 1-row
+    crossJoin; per-doc counts come back through one word-keyed join and
+    ONE groupBy(doc).  The per-doc summation is an ``F.aggregate`` fold
+    over the idx-sorted count array — a deterministic left-to-right IEEE
+    order the DuckDB oracle replays with ``list(cnt ORDER BY idx)`` +
+    ``list_reduce`` (Spark's fold seeds 0.0, DuckDB's seeds the first
+    element; identical bitwise because 0.0 + x == x exactly).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+", -1),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("idx", "word"),
+    )
+    vocab = toks.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("_n"))
+    per_doc = (
+        toks.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "cnt"))),
+                lambda s: s["cnt"],
+            ).alias("_cnts")
+        )
+    )
+    n_d = F.col("_n").cast("double")
+    inv = F.transform(F.col("_cnts"), lambda c: n_d / c.cast("double"))
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        F.size("_cnts").cast("long").alias("n_words"),
+        (
+            F.aggregate(inv, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size("_cnts").cast("double")
+        ).alias("mean_inv_freq"),
+        F.array_max(inv).alias("max_inv_freq"),
+    )

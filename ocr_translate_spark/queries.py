@@ -242,6 +242,14 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 GOPHER_QUERY_KWARGS = dict(min_words=40, min_stopword_hits=1)
 
 
+def q_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style rarity scoring (textstats.rarity_scores): mean/max
+    inverse unigram frequency per doc against the corpus's own counts
+    (log-free exact_math formulation — see the operator docstring)."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.rarity_scores(docs, "doc_id", "text")
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-filter rules (Rae et al. 2021 App. A1.1): per-doc
     word-count / mean-word-length / symbol-ratio / bullet & ellipsis
@@ -1136,6 +1144,7 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_val_split": q_train_val_split,
     "pii_scrub": q_pii_scrub,
     "repetition_stats": q_repetition_stats,
+    "rarity_scores": q_rarity_scores,
     "gopher_rules": q_gopher_rules,
     "bm25_search": q_bm25_search,
     "common_words": q_common_words,
@@ -1322,6 +1331,27 @@ ORACLE_SQL: dict[str, str] = {
         SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
           SELECT unnest({_WORDS}) AS word FROM documents)
         GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+    # mirrors textstats.rarity_scores: list(cnt ORDER BY idx) + list_reduce
+    # replays Spark's F.aggregate fold bit-for-bit (Spark seeds 0.0, DuckDB
+    # seeds the first element; 0.0 + x == x exactly)
+    "rarity_scores": f"""
+        WITH toks AS (
+          SELECT doc_id, generate_subscripts(words, 1) - 1 AS idx,
+                 unnest(words) AS word
+          FROM (SELECT doc_id, {_WORDS} AS words FROM documents)),
+        vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+                  FROM toks GROUP BY word),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vocab),
+        per AS (SELECT doc_id, list(cnt ORDER BY idx) AS cnts
+                FROM toks JOIN vocab USING (word) GROUP BY doc_id)
+        SELECT doc_id, CAST(len(cnts) AS BIGINT) AS n_words,
+          list_reduce(list_transform(cnts,
+              c -> CAST(n AS DOUBLE) / CAST(c AS DOUBLE)), (a, b) -> a + b)
+            / CAST(len(cnts) AS DOUBLE) AS mean_inv_freq,
+          list_max(list_transform(cnts,
+              c -> CAST(n AS DOUBLE) / CAST(c AS DOUBLE))) AS max_inv_freq
+        FROM per, tot
     """,
     # mirrors textstats.gopher_rules with GOPHER_QUERY_KWARGS thresholds;
     # double literals go through CAST('<repr>' AS DOUBLE) (strtod) so the

@@ -752,3 +752,34 @@ def test_decontaminate_counts_distinct_shared_grams(spark):
     bench = spark.createDataFrame([(passage,)], "text string")
     row = decontaminate(df, bench, "doc_id", "text", n=13).first()
     assert row["n_hits"] == 3 and row["contaminated"]
+
+
+# ------------------------------------------------------------ rarity scores
+
+def test_rarity_scores_known_values(spark):
+    from ocr_translate_spark.operators.textstats import rarity_scores
+
+    # corpus counts: a=2, b=1, c=1; N=4
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "c"), (3, "   ")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in rarity_scores(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2}  # the whitespace-only doc emits nothing
+    # doc 1: inverse freqs [4/2, 4/2, 4/1] -> mean 8/3, max 4
+    assert rows[1]["n_words"] == 3
+    assert rows[1]["mean_inv_freq"] == (2.0 + 2.0 + 4.0) / 3.0
+    assert rows[1]["max_inv_freq"] == 4.0
+    # doc 2: the rarest vocabulary in the corpus scores highest
+    assert rows[2]["mean_inv_freq"] == 4.0
+    assert rows[2]["mean_inv_freq"] > rows[1]["mean_inv_freq"]
+
+
+def test_rarity_scores_partitioning_invariant(spark, documents):
+    from ocr_translate_spark.operators.textstats import rarity_scores
+
+    docs = documents.select("doc_id", "text")
+    one = {r["doc_id"]: (r["mean_inv_freq"], r["max_inv_freq"])
+           for r in rarity_scores(docs.coalesce(1), "doc_id", "text").collect()}
+    many = {r["doc_id"]: (r["mean_inv_freq"], r["max_inv_freq"])
+            for r in rarity_scores(docs.repartition(7), "doc_id", "text").collect()}
+    assert one == many and one  # idx-sorted fold: exact, not approximate

@@ -117,6 +117,24 @@ def main() -> int:
     results["bm25_search"] = time.monotonic() - t0
     assert top == 25
 
+    from ocr_translate_spark.operators import curation, textstats as ts
+
+    t0 = time.monotonic()
+    n_scored = ts.rarity_scores(big, "id", "text").count()
+    results["rarity_scores"] = time.monotonic() - t0
+    assert n_scored == n_docs  # every (non-empty) doc scored
+
+    # frame every doc with one corpus-wide footer line; line dedup must
+    # strip exactly that line from every document
+    framed = big.select(
+        "id", F.concat_ws("\n", F.col("text"), F.lit("probe footer line")).alias("text")
+    )
+    t0 = time.monotonic()
+    ld = curation.drop_boilerplate_lines(framed, "id", "text", n_docs=n_docs)
+    n_stripped = ld.filter(F.col("n_dropped") == 1).count()
+    results["line_dedup"] = time.monotonic() - t0
+    assert n_stripped == n_docs, (n_stripped, n_docs)
+
     print(f"gopher passing docs: {n_pass}; minhash candidates: {n_cands} "
           f"(exact {n_exact}); shared-gram pairs: {n_pairs}", flush=True)
     for name, sec in results.items():

@@ -52,6 +52,15 @@ _WS_COLLAPSE_RE = re.compile(r"[ \t\r\f\v]+")
 # raw tag -> lowered name, shared across documents (tag vocab is tiny)
 _TAG_NAME_CACHE: dict[str, str] = {}
 
+# ASCII-only lowercase map. str.lower() is NOT length-preserving (U+0130
+# 'İ' -> 'i̇' is 2 code points), so indexes found in a .lower()ed copy
+# would be shifted offsets into the original buffer. A 1:1 translate
+# table preserves length exactly, and tag names are ASCII by grammar
+# (_TAG_NAME_RE), so ASCII lowering is all the skip-scan needs.
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
 
 @dataclass
 class Block:
@@ -287,7 +296,7 @@ def extract_html(
                     link_depth += 1
                 if name in SKIP_CONTENT_TAGS and not selfclosing:
                     if lowered is None:
-                        lowered = buf.lower()
+                        lowered = buf.translate(_ASCII_LOWER)
                     close_pat = "</" + name + ">"
                     idx = lowered.find(close_pat, pos)
                     pos = n if idx < 0 else idx + len(close_pat)

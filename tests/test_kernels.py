@@ -182,3 +182,45 @@ def test_merge_wide_vertical_lang_reads_horizontal():
     lbrt = [(0.0, 0.0, 10.0, 10.0), (20.0, 0.0, 30.0, 10.0)]
     res = merge_single_result("ja", texts, lbrt, ["m", "m"], merged)
     assert res == ["ab"]  # no-space join, left-to-right
+
+
+# ---------------------------------------------------------------- html skip-scan
+
+def test_skip_scan_lowering_is_length_preserving():
+    """Regression: the SKIP_CONTENT_TAGS scan must lower the buffer with a
+    length-preserving map.  str.lower() expands U+0130 'İ' to 2 code
+    points ('i' + combining dot), so indexes found in the lowered copy
+    were shifted offsets into the original buffer — a page with 'İ'
+    before a <script> close tag resumed parsing mid-tag, emitting a
+    stray '>tail' block (and with more shift, leaking script content).
+    """
+    from ocr_translate_spark.kernels.html_extract import extract_html
+
+    html = (
+        "<article><p>İİİİ İstanbul paragraph with enough content chars here.</p>"
+        "<script>var skipped = '<p>not content</p>';</script>"
+        "<p>tail paragraph also has enough content characters here.</p></article>"
+    ).encode()
+    res = extract_html(html)
+    assert "not content" not in res.text
+    assert "skipped" not in res.text
+    assert ">tail" not in res.text
+    assert "tail paragraph also has enough content characters here." in res.text
+    assert res.text.startswith("İİİİ İstanbul")
+
+
+def test_skip_scan_shift_does_not_leak_script_content():
+    """With enough pre-<script> 'İ's the old bug leaked script source into
+    extracted text; pin the fixed behavior on a heavy case too."""
+    from ocr_translate_spark.kernels.html_extract import extract_html
+
+    html = (
+        "<div><p>" + "İ" * 40 + " leading paragraph with plenty of content here.</p>"
+        "<style>.x{color:red}</style>"
+        "<script>function leak(){return 'SECRET_SCRIPT_BODY';}</script>"
+        "<p>closing paragraph with plenty of ordinary content here too.</p></div>"
+    ).encode()
+    res = extract_html(html)
+    assert "SECRET_SCRIPT_BODY" not in res.text
+    assert "color:red" not in res.text
+    assert "closing paragraph with plenty of ordinary content here too." in res.text

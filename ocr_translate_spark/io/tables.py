@@ -122,52 +122,84 @@ class IcebergWarehouse:
         # accept a path-like root and sanitize it into a namespace name
         ns = namespace.strip("/").replace("/", "_").replace("-", "_") or "warehouse"
         self.namespace = ns
-        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {ns}")
+        self._sql(f"CREATE NAMESPACE IF NOT EXISTS {ns}")
 
     def _full(self, table: str) -> str:
         return f"{self.namespace}.{table}"
+
+    # -- engine seam -----------------------------------------------------
+    # Every catalog interaction flows through these six primitives, and
+    # every protocol READ is a plain SQL string, so the full
+    # commit/merge/upsert/crash-recovery state machine — including the
+    # exact MERGE INTO / rollback_to_snapshot / log-query strings and
+    # their ordering — executes un-skipped against a recording fake
+    # engine (tests/test_iceberg_protocol.py).  Only the thin primitive
+    # bodies below stay jar-dependent (live test skip-marked).
+    # Table/namespace names are internal identifiers (sanitized in
+    # __init__), never user text — safe to interpolate.
+
+    def _sql(self, statement: str):
+        """Run one SQL statement; result exposes ``.first()``."""
+        return self.spark.sql(statement)
+
+    def _table_exists(self, full: str) -> bool:
+        return self.spark.catalog.tableExists(full)
+
+    def _table_columns(self, full: str) -> "list[str]":
+        return self.spark.table(full).columns
+
+    def _write_table(self, df: DataFrame, full: str, mode: str) -> None:
+        """``mode``: 'create' | 'append' — each an atomic Iceberg snapshot."""
+        if mode == "create":
+            df.writeTo(full).create()
+        else:
+            df.writeTo(full).append()
+
+    def _read_table(self, full: str, snapshot_id: "int | None" = None) -> DataFrame:
+        if snapshot_id is None:
+            return self.spark.table(full)
+        return self.spark.read.option("snapshot-id", int(snapshot_id)).table(full)
+
+    def _make_df(self, rows, schema: str) -> DataFrame:
+        return self.spark.createDataFrame(rows, schema)
 
     # -- write ---------------------------------------------------------
 
     def stage(self, df: DataFrame, table: str) -> str:
         handle = self._full(f"{table}__stage_{uuid.uuid4().hex[:12]}")
-        df.writeTo(handle).create()
+        self._write_table(df, handle, "create")
         return handle
 
     def read_staged(self, spark: SparkSession, handle: str) -> DataFrame:
-        return spark.table(handle)
+        return self._read_table(handle)
 
     def discard_staged(self, handle: str) -> None:
         """Drop a staged-but-never-committed handle.  Callers that bail out
         after staging (e.g. a fully-memoized run) MUST call this, or every
         replayed streaming micro-batch leaks a permanent ``__stage_*``
         table in the catalog."""
-        self.spark.sql(f"DROP TABLE IF EXISTS {handle}")
+        self._sql(f"DROP TABLE IF EXISTS {handle}")
 
     def _iceberg_snapshot(self, full: str) -> int:
         """Current snapshot of the main branch via the ``refs`` metadata
         table — deterministic, unlike ordering ``snapshots`` by the
         millisecond-granularity ``committed_at`` (which can tie)."""
-        row = (
-            self.spark.sql(f"SELECT name, snapshot_id FROM {full}.refs")
-            .where("name = 'main'")
-            .first()
-        )
+        row = self._sql(
+            f"SELECT snapshot_id FROM {full}.refs WHERE name = 'main'"
+        ).first()
         return int(row["snapshot_id"]) if row else 0
 
     def _last_logged_snapshot(self, table: str) -> "int | None":
         """The Iceberg snapshot id the log recorded at the table's highest
         logical snapshot — i.e. the last PUBLISHED state of the table."""
-        from pyspark.sql import functions as F
-
-        log = self._log()
-        if log is None:
+        log_full = self._full(self.LOG_TABLE)
+        if not self._table_exists(log_full):
             return None
-        row = (
-            log.filter(F.col("table_name") == table)
-            .orderBy(F.desc("snapshot_id"))
-            .first()
-        )
+        row = self._sql(
+            f"SELECT iceberg_snapshot_id FROM {log_full} "
+            f"WHERE table_name = '{table}' "
+            "ORDER BY snapshot_id DESC, iceberg_snapshot_id ASC LIMIT 1"
+        ).first()
         return int(row["iceberg_snapshot_id"]) if row else None
 
     def _rollback_orphans(self, table: str) -> None:
@@ -180,69 +212,73 @@ class IcebergWarehouse:
         (their run was never published, so the ledger never references
         them), exactly like the emulation's unreferenced orphan dirs."""
         full = self._full(table)
-        if not self.spark.catalog.tableExists(full):
+        if not self._table_exists(full):
             return
         last = self._last_logged_snapshot(table)
         if last is None:
             return  # legacy table (pre-log) or first commit: nothing logged
         if self._iceberg_snapshot(full) != last:
-            self.spark.sql(
+            self._sql(
                 f"CALL spark_catalog.system.rollback_to_snapshot"
                 f"('{full}', {last})"
             )
 
-    def _publish_log(self, tables: list[str], commit_uuid: str) -> int:
+    def _publish_log(self, tables: "list[str]", commit_uuid: str) -> int:
         """Append ONE log row per table at the next logical snapshot id —
         the single atomic publish point — then verify no concurrent writer
         claimed the same id (Iceberg appends never conflict, so the
         single-writer contract is detected, not enforced)."""
-        from pyspark.sql import functions as F
-
         new_id = self.current_snapshot_id() + 1
         log_rows = [
             (new_id, t, self._iceberg_snapshot(self._full(t)), commit_uuid)
             for t in tables
         ]
-        log_df = self.spark.createDataFrame(
+        log_df = self._make_df(
             log_rows,
             "snapshot_id long, table_name string, iceberg_snapshot_id long, "
             "commit_uuid string",
         )
         log_full = self._full(self.LOG_TABLE)
-        if self.spark.catalog.tableExists(log_full):
-            log_df.writeTo(log_full).append()  # the atomic publish point
-        else:
-            log_df.writeTo(log_full).create()
-        log = self._log()
-        if "commit_uuid" in log.columns:
-            clash = log.filter(
-                (F.col("snapshot_id") == new_id)
-                & (F.col("commit_uuid") != commit_uuid)
-            ).count()
-            if clash:
-                raise ConcurrentCommitError(
-                    f"logical snapshot {new_id} was published by another "
-                    "writer concurrently; the warehouse write contract is "
-                    "single-writer per root (see ConcurrentCommitError)"
+        if self._table_exists(log_full):
+            if "commit_uuid" not in self._table_columns(log_full):
+                # legacy 3-column log (pre-uuid schema): evolve the table
+                # before appending — a raw append would fail the schema
+                # match and strand the commit after its table appends
+                self._sql(
+                    f"ALTER TABLE {log_full} ADD COLUMN commit_uuid STRING"
                 )
+            self._write_table(log_df, log_full, "append")  # atomic publish
+        else:
+            self._write_table(log_df, log_full, "create")
+        clash = self._sql(
+            f"SELECT count(*) AS n FROM {log_full} "
+            f"WHERE snapshot_id = {new_id} AND commit_uuid <> '{commit_uuid}'"
+        ).first()
+        # legacy NULL-uuid rows never compare <> true, so they can't clash
+        if clash and int(clash["n"]):
+            raise ConcurrentCommitError(
+                f"logical snapshot {new_id} was published by another "
+                "writer concurrently; the warehouse write contract is "
+                "single-writer per root (see ConcurrentCommitError)"
+            )
         return new_id
 
-    def commit(self, staged: dict[str, list[str]]) -> int:
+    def commit(self, staged: "dict[str, list[str]]") -> int:
         commit_uuid = uuid.uuid4().hex
         for table, handles in sorted(staged.items()):
             self._rollback_orphans(table)
             full = self._full(table)
             for handle in handles:
-                df = self.spark.table(handle)
-                if self.spark.catalog.tableExists(full):
-                    df.writeTo(full).append()
+                df = self._read_table(handle)
+                if self._table_exists(full):
+                    self._write_table(df, full, "append")
                 else:
-                    df.writeTo(full).create()
-                self.spark.sql(f"DROP TABLE IF EXISTS {handle}")
+                    self._write_table(df, full, "create")
+                self._sql(f"DROP TABLE IF EXISTS {handle}")
         return self._publish_log(sorted(staged), commit_uuid)
 
     def merge(
-        self, spark: SparkSession, df: DataFrame, table: str, keys: list[str]
+        self, spark: SparkSession, df: DataFrame, table: str, keys: "list[str]"
     ) -> int:
         """J4 lookup-or-insert as a true upsert (ref models/base.py:33-47
         ``get_or_create``): ``MERGE INTO ... WHEN NOT MATCHED THEN INSERT``
@@ -255,20 +291,20 @@ class IcebergWarehouse:
         full = self._full(table)
         try:
             self._rollback_orphans(table)
-            if not self.spark.catalog.tableExists(full):
-                self.spark.table(handle).writeTo(full).create()
+            if not self._table_exists(full):
+                self._write_table(self._read_table(handle), full, "create")
             else:
                 cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
-                self.spark.sql(
+                self._sql(
                     f"MERGE INTO {full} t USING {handle} s ON {cond} "
                     "WHEN NOT MATCHED THEN INSERT *"
                 )
         finally:
-            self.spark.sql(f"DROP TABLE IF EXISTS {handle}")
+            self._sql(f"DROP TABLE IF EXISTS {handle}")
         return self._publish_log([table], commit_uuid)
 
     def upsert(
-        self, spark: SparkSession, df: DataFrame, table: str, keys: list[str]
+        self, spark: SparkSession, df: DataFrame, table: str, keys: "list[str]"
     ) -> int:
         """Last-write-wins upsert (ref views.py:370-377
         ``set_manual_translation``: update the existing row's result if
@@ -280,17 +316,17 @@ class IcebergWarehouse:
         full = self._full(table)
         try:
             self._rollback_orphans(table)
-            if not self.spark.catalog.tableExists(full):
-                self.spark.table(handle).writeTo(full).create()
+            if not self._table_exists(full):
+                self._write_table(self._read_table(handle), full, "create")
             else:
                 cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
-                self.spark.sql(
+                self._sql(
                     f"MERGE INTO {full} t USING {handle} s ON {cond} "
                     "WHEN MATCHED THEN UPDATE SET * "
                     "WHEN NOT MATCHED THEN INSERT *"
                 )
         finally:
-            self.spark.sql(f"DROP TABLE IF EXISTS {handle}")
+            self._sql(f"DROP TABLE IF EXISTS {handle}")
         return self._publish_log([table], commit_uuid)
 
     def write(self, df: DataFrame, table: str) -> int:
@@ -298,17 +334,13 @@ class IcebergWarehouse:
 
     # -- read ------------------------------------------------------------
 
-    def _log(self) -> "DataFrame | None":
-        log_full = self._full(self.LOG_TABLE)
-        if not self.spark.catalog.tableExists(log_full):
-            return None
-        return self.spark.table(log_full)
-
     def current_snapshot_id(self) -> int:
-        log = self._log()
-        if log is None:
+        log_full = self._full(self.LOG_TABLE)
+        if not self._table_exists(log_full):
             return 0
-        row = log.selectExpr("max(snapshot_id) AS m").first()
+        row = self._sql(
+            f"SELECT max(snapshot_id) AS m FROM {log_full}"
+        ).first()
         return int(row["m"]) if row and row["m"] is not None else 0
 
     def read(
@@ -316,43 +348,34 @@ class IcebergWarehouse:
         spark: SparkSession,
         table: str,
         schema=None,
-        snapshot_id: int | None = None,
+        snapshot_id: "int | None" = None,
     ) -> DataFrame:
-        from pyspark.sql import functions as F
-
         full = self._full(table)
-        log = self._log()
-        exists = spark.catalog.tableExists(full)
-        if log is None:
+        log_full = self._full(self.LOG_TABLE)
+        exists = self._table_exists(full)
+        if not self._table_exists(log_full):
             # legacy warehouse written before the snapshot log existed:
             # read the current table state (no time travel available)
             if exists:
-                return spark.table(full)
+                return self._read_table(full)
         else:
             snap = self.current_snapshot_id() if snapshot_id is None else snapshot_id
-            row = (
-                log.filter(
-                    (F.col("table_name") == table)
-                    & (F.col("snapshot_id") <= snap)
-                )
+            row = self._sql(
+                f"SELECT iceberg_snapshot_id FROM {log_full} "
+                f"WHERE table_name = '{table}' AND snapshot_id <= {snap} "
                 # deterministic even over a corrupted log with duplicate
                 # logical ids (ConcurrentCommitError was raised but the
                 # rows exist): the smallest iceberg snapshot wins
-                .orderBy(F.desc("snapshot_id"), F.asc("iceberg_snapshot_id"))
-                .first()
-            )
+                "ORDER BY snapshot_id DESC, iceberg_snapshot_id ASC LIMIT 1"
+            ).first()
             if row is not None and exists:
-                return (
-                    spark.read
-                    .option("snapshot-id", int(row["iceberg_snapshot_id"]))
-                    .table(full)
-                )
+                return self._read_table(full, int(row["iceberg_snapshot_id"]))
             # a table with data but no log row = a crashed, never-published
             # commit: stays invisible (the parquet emulation's orphan-dir
             # behavior)
         if schema is None:
             raise ValueError(f"table {table!r} is empty and no schema given")
-        return spark.createDataFrame([], schema=schema)
+        return self.spark.createDataFrame([], schema=schema)
 
 
 class Warehouse:

@@ -114,6 +114,7 @@ def drop_boilerplate_lines(
     text_col: str,
     max_line_frac: float = 0.3,
     n_docs: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Corpus-frequency line dedup (C4 / CCNet boilerplate removal):
     drop every line that occurs in more than ``max_line_frac`` of the
@@ -141,6 +142,13 @@ def drop_boilerplate_lines(
     order explicit and partitioning-invariant.  Everything is native
     columns; the DuckDB oracle replays it with ``string_agg(line ORDER
     BY idx)``.
+
+    ``materialize=True`` persists the exploded lines table so both
+    consumers share one scan (cache entries dedupe by canonical plan, so
+    re-invoking on the same corpus reuses rather than accumulates; see
+    dedup.minhash_lsh_candidates for the cache-lifecycle notes —
+    long-lived sessions cycling many corpora should pass False or
+    ``spark.catalog.clearCache()`` between corpora).
     """
     # the corpus size anchors the fraction cutoff; pass n_docs when the
     # caller already knows it (saves the count scan at warehouse scale)
@@ -150,7 +158,9 @@ def drop_boilerplate_lines(
     lines = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("idx", "line"),
-    ).persist()
+    )
+    if materialize:
+        lines = lines.persist()
     hot = (
         lines.dropDuplicates(["doc_id", "line"])
         .groupBy("line")

@@ -72,18 +72,25 @@ def bm25_topk(
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda x: x != F.lit("")
     )
+
     def _tf(term: str):
         # NB: the HOF lambda must stay single-parameter — PySpark binds a
         # Column to every named parameter, defaults included
-        return F.size(F.filter(words, lambda x: x == F.lit(term)))
+        return F.size(F.filter(F.col("_words"), lambda x: x == F.lit(term)))
 
     tf_cols = [
         _tf(t).cast("long").alias(f"_tf{i}") for i, t in enumerate(query_terms)
     ]
-    d = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(words).cast("long").alias("_dl"),
-        *tf_cols,
+    # project the tokenized array ONCE, then derive _dl and every tf from
+    # the projected column — one split per document is structural, not a
+    # bet on Catalyst CSE'ing len(terms)+1 copies of the same expression
+    d = (
+        df.select(F.col(id_col).alias("doc_id"), words.alias("_words"))
+        .select(
+            "doc_id",
+            F.size("_words").cast("long").alias("_dl"),
+            *tf_cols,
+        )
     )
     if materialize:
         d = d.persist()

@@ -33,6 +33,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import DoubleType
 
+# brute_force_topk ships the query set in every task closure; 10k vectors
+# x 128 dims x 8 B ≈ 10 MB — the comfortable ceiling for closure
+# broadcast.  Larger probe sets belong on the join-based paths.
+_QUERY_SET_CAP = 10_000
+
 
 def _stack(col: pd.Series) -> np.ndarray:
     """(n, d) float64 matrix from a Series of float arrays (exact widen)."""
@@ -94,8 +99,9 @@ def brute_force_topk(
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
 
     The query side is collected to the driver (top-k searches have small
-    |Q| by contract — it is a probe set, not a second corpus) and shipped
-    in the task closure; the corpus never shuffles.  Each Arrow batch emits
+    |Q| by contract — it is a probe set, not a second corpus; enforced at
+    ``_QUERY_SET_CAP`` rows, ValueError beyond) and shipped in the task
+    closure; the corpus never shuffles.  Each Arrow batch emits
     at most ``k`` candidates per query (partial top-k), so the final
     window exchange carries ``partitions * |Q| * k`` rows, independent of
     corpus size.  Self-matches are excluded; ties break on neighbor_id.
@@ -109,6 +115,17 @@ def brute_force_topk(
     """
     id_dt = corpus.schema[id_col].dataType.simpleString()
     cand_schema = f"query_id {id_dt}, neighbor_id {id_dt}, cosine double"
+    # enforce the small-|Q| contract BEFORE collecting: a caller passing a
+    # second corpus as the query side would otherwise OOM the driver with
+    # no warning.  limit(cap+1) bounds the probe itself to O(cap) rows.
+    cap = _QUERY_SET_CAP
+    if len(queries.select(id_col).limit(cap + 1).collect()) > cap:
+        raise ValueError(
+            f"brute_force_topk query side exceeds the {cap}-row probe-set "
+            "contract (it is collected to the driver and shipped in the "
+            "task closure); for corpus-vs-corpus similarity use the "
+            "join-based embedding_near_dups / ivf_topk paths instead"
+        )
     q_rows = queries.select(id_col, vec_col).collect()
     # ids keep their native dtype (numpy infers int64/unicode/object);
     # only equality + ordering are required of them

@@ -783,3 +783,59 @@ def test_rarity_scores_partitioning_invariant(spark, documents):
     many = {r["doc_id"]: (r["mean_inv_freq"], r["max_inv_freq"])
             for r in rarity_scores(docs.repartition(7), "doc_id", "text").collect()}
     assert one == many and one  # idx-sorted fold: exact, not approximate
+
+
+def test_brute_force_topk_rejects_oversized_query_set(spark, monkeypatch):
+    """The query side is driver-collected by contract; an oversized probe
+    set must fail loudly BEFORE the collect (round-3 verdict #4)."""
+    monkeypatch.setattr(similarity, "_QUERY_SET_CAP", 5)
+    df = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="probe-set"):
+        similarity.brute_force_topk(df, df, k=2)
+    # at or under the cap still works
+    ok = similarity.brute_force_topk(df, df.limit(5), k=1)
+    assert ok.count() == 5
+
+
+def test_operator_persists_are_released_by_clear_cache(spark):
+    """Cache-lifecycle contract (round-3 verdict #3): materialize=True
+    persists dedupe by canonical plan (re-invocation reuses, not
+    accumulates), materialize=False keeps the cache untouched, and
+    clearCache() is the documented between-corpora release valve."""
+    from ocr_translate_spark.operators import curation, search
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    base = n_cached()
+    docs = spark.createDataFrame(
+        [(i, "keep me\nSAME FOOTER\nline %d" % i) for i in range(40)],
+        "doc_id long, text string",
+    )
+
+    # materialize=False: no cache entries at all
+    curation.drop_boilerplate_lines(
+        docs, "doc_id", "text", max_line_frac=0.3, materialize=False
+    ).count()
+    search.bm25_topk(docs, ("keep",), top_k=3, materialize=False).count()
+    dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", materialize=False
+    ).count()
+    assert n_cached() == base
+
+    # materialize=True: entries appear, re-invocation does NOT grow the
+    # cache (plan-dedupe), and clearCache releases everything
+    for _ in range(2):
+        curation.drop_boilerplate_lines(
+            docs, "doc_id", "text", max_line_frac=0.3
+        ).count()
+    grown = n_cached()
+    assert grown > base
+    curation.drop_boilerplate_lines(docs, "doc_id", "text", max_line_frac=0.3).count()
+    assert n_cached() == grown
+    spark.catalog.clearCache()
+    assert n_cached() == 0

@@ -210,26 +210,44 @@ def pack_documents(
     corpus onto ONE task; instead this is the classic two-level
     distributed prefix sum over DATA-DRIVEN id buckets (approx-quantile
     range bounds, so bucket assignment is a pure function of doc_id —
-    stable across re-executions, unlike spark_partition_id): per-bucket
+    stable across re-executions, unlike spark_partition_id; string ids
+    bucket via an order-preserving byte-prefix surrogate, see below): per-bucket
     token subtotals (one tiny aggregate, |buckets| rows) are prefix-summed
     on the driver and broadcast back, and a bucket-local window adds the
     running sum — every O(corpus) step stays fully parallel.
     """
+    from pyspark.sql.types import NumericType
+
     n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        ord_col = F.col(id_col).cast("double")
+    else:
+        # string ids (urls — the natural key elsewhere): approxQuantile
+        # needs a numeric column, so derive an ORDER-PRESERVING numeric
+        # surrogate — the first 6 UTF-8 bytes as a big-endian integer
+        # (48 bits, exact in double; short ids zero-pad right).  Spark
+        # compares strings by unsigned byte order (UTF8String), so
+        # surrogate order is consistent with native order; ids equal in
+        # their first 6 bytes merely share a bucket, where the local
+        # window below orders by the NATIVE id.
+        ord_col = F.conv(
+            F.rpad(F.substring(F.hex(F.encode(F.col(id_col), "UTF-8")), 1, 12),
+                   12, "0"),
+            16, 10,
+        ).cast("double")
     d = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(_words(F.col(text_col))).cast("long").alias("n_tokens"),
+        ord_col.alias("_ord"),
     )
     if n_parts > 1:
         qs = [i / n_parts for i in range(1, n_parts)]
-        bounds = sorted(set(d.approxQuantile("doc_id", qs, 0.001)))
+        bounds = sorted(set(d.approxQuantile("_ord", qs, 0.001)))
     else:
         bounds = []
     if bounds:
         barr = F.array(*[F.lit(b).cast("double") for b in bounds])
-        bucket = F.size(
-            F.filter(barr, lambda b: b <= F.col("doc_id").cast("double"))
-        )
+        bucket = F.size(F.filter(barr, lambda b: b <= F.col("_ord")))
     else:
         bucket = F.lit(0)
     d = d.withColumn("_bkt", bucket)

@@ -839,3 +839,27 @@ def test_operator_persists_are_released_by_clear_cache(spark):
     assert n_cached() == grown
     spark.catalog.clearCache()
     assert n_cached() == 0
+
+
+def test_pack_documents_string_ids(spark):
+    """pack_documents over url-style STRING ids (the framework's natural
+    key): bucket bounds come from an order-preserving byte-prefix
+    surrogate, and the packing must equal the driver-computed cumsum in
+    native id order — including ids that collide in their first 6 bytes
+    (same bucket, native in-bucket ordering)."""
+    from ocr_translate_spark.operators import curation
+
+    rows = [
+        (f"https://host{i % 7}.test/p/{i:04d}", "tok " * (i % 9))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string").repartition(8)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_offset"])
+        for r in curation.pack_documents(df, capacity=16, partitions=6).collect()
+    }
+    acc = 0
+    for doc_id, text in sorted(rows):
+        n = len(text.split())
+        assert got[doc_id] == (n, acc), doc_id
+        acc += n

@@ -251,14 +251,21 @@ def rarity_scores(df, id_col: str, text_col: str):
     Returns (doc_id, n_words, mean_inv_freq, max_inv_freq); docs with no
     words emit nothing (they have no vocabulary to score).
 
-    Scale design: one unigram-count aggregate (map-side combined) over
-    the exploded words; the corpus total enters as a broadcast 1-row
-    crossJoin; per-doc counts come back through one word-keyed join and
-    ONE groupBy(doc).  The per-doc summation is an ``F.aggregate`` fold
-    over the idx-sorted count array — a deterministic left-to-right IEEE
-    order the DuckDB oracle replays with ``list(cnt ORDER BY idx)`` +
-    ``list_reduce`` (Spark's fold seeds 0.0, DuckDB's seeds the first
-    element; identical bitwise because 0.0 + x == x exactly).
+    Scale design: occurrences are pre-aggregated into DISTINCT
+    (doc, word) pairs carrying their in-doc idx arrays BEFORE anything
+    is keyed by word, so the word-keyed shuffles (the unigram aggregate
+    and the count join) carry one row per document-word pair, never one
+    per occurrence — the hot-word join key ("the" joins every doc)
+    drops from per-occurrence to per-document multiplicity, and the
+    (doc, word) pre-aggregation key itself is skew-free.  The corpus
+    total enters as a broadcast 1-row crossJoin.  The per-doc summation
+    is an ``F.aggregate`` fold over the idx-sorted count array — the
+    idx arrays are re-zipped with the joined count and flattened, so
+    the fold sequence is identical to the per-occurrence formulation: a
+    deterministic left-to-right IEEE order the DuckDB oracle replays
+    with ``list(cnt ORDER BY idx)`` + ``list_reduce`` (Spark's fold
+    seeds 0.0, DuckDB's seeds the first element; identical bitwise
+    because 0.0 + x == x exactly).
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -269,14 +276,30 @@ def rarity_scores(df, id_col: str, text_col: str):
             )
         ).alias("idx", "word"),
     )
-    vocab = toks.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+    pairs = toks.groupBy("doc_id", "word").agg(
+        F.sort_array(F.collect_list("idx")).alias("idxs")
+    )
+    vocab = pairs.groupBy("word").agg(
+        F.sum(F.size("idxs")).cast("long").alias("cnt")
+    )
     total = vocab.agg(F.sum("cnt").alias("_n"))
     per_doc = (
-        toks.join(vocab, "word")
+        pairs.join(vocab, "word")
         .groupBy("doc_id")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "cnt"))),
+                F.array_sort(
+                    F.flatten(
+                        F.collect_list(
+                            F.transform(
+                                F.col("idxs"),
+                                lambda i: F.struct(
+                                    i.alias("idx"), F.col("cnt").alias("cnt")
+                                ),
+                            )
+                        )
+                    )
+                ),
                 lambda s: s["cnt"],
             ).alias("_cnts")
         )

@@ -103,6 +103,65 @@ def main() -> int:
     bound = n_planted + (args.copies + 6) * p_nat
     assert 0 < n_pairs <= bound, (n_pairs, n_planted, p_nat, bound)
 
+    # --- n-gram Jaccard at 200k (round-3 verdict #5) ------------------
+    # 8-word shingles, exact (no df cap): planted exact dups must appear
+    # with jaccard == 1.0, so planted coverage is a closed-form equality,
+    # not a bound.  Natural >=0.8 pairs replicate per suffix group
+    # (suffixing is a word bijection — jaccard is invariant), measured
+    # once at source scale; planted dups mirror a slice of them into the
+    # neighbouring group, hence the same slack form as shared_ngram.
+    p_nat_j = dedup.jaccard_pairs(docs, "doc_id", "text", n=8, threshold=0.8).count()
+    n_planted_8w = big.filter(
+        (F.col("is_dup") == 1) & (F.size(F.split(F.col("text"), r"\s+", -1)) >= 8)
+    ).count()
+    t0 = time.monotonic()
+    jp = dedup.jaccard_pairs(big, "id", "text", n=8, threshold=0.8).persist()
+    n_jp = jp.count()
+    results["jaccard_pairs"] = time.monotonic() - t0
+    planted_pairs = big.filter(F.col("is_dup") == 1).select(
+        (F.col("id") - 1).alias("id_a"), F.col("id").alias("id_b")
+    )
+    n_planted_found = jp.filter(F.col("jaccard") == 1.0).join(
+        planted_pairs, ["id_a", "id_b"], "left_semi"
+    ).count()
+    jp.unpersist()
+    assert n_planted_found == n_planted_8w, (n_planted_found, n_planted_8w)
+    assert n_planted_8w <= n_jp <= n_planted + (args.copies + 6) * p_nat_j, (
+        n_jp, n_planted_8w, p_nat_j,
+    )
+
+    # --- benchmark decontamination at 200k (round-3 verdict #5) -------
+    # eval set: the first 16 words of every 101st copy-0 original (>=16
+    # words so the 13-gram window fits).  Contamination is then confined
+    # to suffix-0 text: the sampled copy-0 docs themselves (exact
+    # closed-form floor, measured on the copy-0 slice) plus at most the
+    # planted k=1 dups, which are the only other docs carrying suffix 0.
+    wcount = F.size(F.split(F.col("text"), r"\s+", -1))
+    evalset = (
+        big.filter((F.col("id") % (args.copies * 101) == 0) & (wcount >= 16))
+        .select(
+            F.array_join(
+                F.slice(F.split(F.col("text"), r"\s+", -1), 1, 16), " "
+            ).alias("text")
+        )
+    )
+    n_eval = evalset.count()
+    copy0 = big.filter(F.col("id") % args.copies == 0)
+    flag_src = (
+        dedup.decontaminate(copy0, evalset, "id", "text")
+        .filter("contaminated").count()
+    )
+    n_k1 = big.filter((F.col("is_dup") == 1) & (F.col("id") % args.copies == 1)).count()
+    t0 = time.monotonic()
+    flagged = (
+        dedup.decontaminate(big, evalset, "id", "text")
+        .filter("contaminated").count()
+    )
+    results["decontaminate"] = time.monotonic() - t0
+    assert n_eval <= flag_src <= flagged <= flag_src + n_k1, (
+        n_eval, flag_src, flagged, n_k1,
+    )
+
     t0 = time.monotonic()
     n_pass = (
         textstats.gopher_rules(big, "id", "text", min_words=40, min_stopword_hits=0)

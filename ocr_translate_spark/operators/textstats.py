@@ -279,9 +279,10 @@ def rarity_scores(df, id_col: str, text_col: str):
     pairs = toks.groupBy("doc_id", "word").agg(
         F.sort_array(F.collect_list("idx")).alias("idxs")
     )
-    vocab = pairs.groupBy("word").agg(
-        F.sum(F.size("idxs")).cast("long").alias("cnt")
-    )
+    # vocab from toks, not pairs: the count aggregate map-side-combines to
+    # per-partition distinct words (a light branch), whereas deriving it
+    # from pairs would recompute the (doc, word) pre-aggregation twice
+    vocab = toks.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("_n"))
     per_doc = (
         pairs.join(vocab, "word")

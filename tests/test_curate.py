@@ -1,0 +1,76 @@
+"""End-to-end curation pipeline composition (curate.curate_corpus):
+every stage's effect is planted and asserted — low-quality drop,
+boilerplate-line strip, PII scrub, exact dup, near dup, benchmark
+contamination, reproducible split."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_translate_spark.curate import curate_corpus
+
+
+def _sentence(i: int, n: int = 30) -> str:
+    # natural-ish text that passes the Gopher battery (stopwords, sane
+    # word lengths, alphabetic words)
+    words = []
+    for j in range(n):
+        words.append(["the", "quick", "brown", "fox", "jumps", "over",
+                      "and", "lazy", "dog", f"topic{i}w{j}"][j % 10])
+    return " ".join(words)
+
+
+def test_curate_corpus_stages(spark):
+    footer = "subscribe to our newsletter today"
+    base = [(i, _sentence(i) + "\n" + footer) for i in range(20)]
+    rows = list(base)
+    rows.append((100, rows[3][1]))                       # exact dup of doc 3
+    rows.append((101, _sentence(7) + " extraword\n" + footer))  # near dup of 7
+    rows.append((102, ":::: ~~~~ !!!! " * 10))           # fails gopher
+    contaminated = _sentence(55, 40) + "\n" + footer
+    rows.append((103, contaminated))                     # leaks eval text
+    rows.append((104, _sentence(60) + " mail me at a.b@example.com now\n" + footer))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    bench = spark.createDataFrame(
+        [(" ".join(contaminated.split()[:15]),)], "text string"
+    )
+
+    out, rep = curate_corpus(
+        df, benchmark=bench, min_words=20, near_threshold=0.8,
+    )
+
+    assert rep.n_input == 25
+    assert rep.n_after_quality == 24            # 102 fails the battery
+    assert rep.n_after_line_dedup == 24         # footer stripped, all survive
+    assert rep.n_after_exact_dedup == 23        # 100 collapses into 3
+    assert rep.n_after_near_dedup == 22         # 101 collapses into 7
+    assert rep.n_after_decontamination == 21    # 103 flagged
+    assert rep.n_output == 21
+    assert 0 <= rep.n_val <= rep.n_output
+
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == set(range(20)) | {104}
+    # boilerplate line stripped from every survivor
+    assert all(footer not in t for t in got.values())
+    # PII scrubbed
+    assert "<EMAIL>" in got[104] and "a.b@example.com" not in got[104]
+    # split is a pure function of the id (re-run identical)
+    out2, _ = curate_corpus(df, benchmark=bench, min_words=20)
+    s1 = {(r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect()}
+    s2 = {(r["doc_id"], r["split"]) for r in out2.select("doc_id", "split").collect()}
+    assert s1 == s2
+    assert rep.stages == [
+        "gopher_rules", "line_dedup", "pii_scrub", "dedup_exact",
+        "minhash_lsh", "decontaminate", "train_val_split",
+    ]
+
+
+def test_curate_corpus_no_benchmark_no_scrub(spark):
+    df = spark.createDataFrame(
+        [(i, _sentence(i)) for i in range(12)], "doc_id long, text string"
+    )
+    out, rep = curate_corpus(df, min_words=10, scrub=False)
+    assert rep.n_input == rep.n_output == 12
+    assert "decontaminate" not in rep.stages and "pii_scrub" not in rep.stages
+    assert out.columns == ["doc_id", "text", "split"]

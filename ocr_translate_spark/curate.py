@@ -90,6 +90,11 @@ def curate_corpus(
     — acceptable for an audited batch run (each is a count over an
     already-needed intermediate); pass-through composition without
     counts is just chaining the operators directly.
+
+    Cache lifecycle: stages 2 and 5 persist their shared-scan
+    intermediates (see dedup.minhash_lsh_candidates); a long-lived
+    session cycling many corpora should ``spark.catalog.clearCache()``
+    between corpora once the curated output is written.
     """
     report = CurationReport()
     report.n_input = df.count()

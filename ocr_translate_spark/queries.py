@@ -706,22 +706,30 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads with doc_id-derived header fields, parse them back with the
     pure-bytes sniffers (multimodal.image_metadata / media_metadata), and
     emit one unified schema (absent fields = -1, the sniffers' own
-    missing-value convention).  The payload build and both sniff passes
-    are narrow Arrow-batched maps over disjoint doc_id slices — no
-    shuffle at any corpus size; real image/audio decode stays behind the
-    documented decode_image stub (container lacks the codec libs)."""
+    missing-value convention).  Each branch filters its doc_id slice
+    BELOW its build UDF — the modulo predicate pushes into the parquet
+    scan and every payload is synthesized exactly once — then build +
+    sniff are narrow Arrow-batched maps; no shuffle at any corpus size.
+    Real image/audio decode stays behind the documented decode_image
+    stub (container lacks the codec libs)."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    multimodal.make_png_bytes(int(i) % 640 + 1, int(i) % 480 + 1)
+                    for i in pdf["doc_id"]
+                ],
+            })
+
+    def build_av(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for raw in pdf["doc_id"]:
                 i = int(raw)
-                if i % 3 == 0:
-                    payloads.append(
-                        multimodal.make_png_bytes(i % 640 + 1, i % 480 + 1)
-                    )
-                elif i % 3 == 1:
+                if i % 3 == 1:
                     ch = (i // 3) % 2 + 1
                     rate = 8000 + (i % 8) * 1000
                     n_samples = (i % 10 + 1) * rate // 10
@@ -730,9 +738,10 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(multimodal.make_mp4_bytes(600, (i % 20 + 1) * 600))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = docs.mapInPandas(build, "doc_id long, payload binary")
+    schema = "doc_id long, payload binary"
     imgs = multimodal.image_metadata(
-        payloads.filter(F.col("doc_id") % 3 == 0), "payload"
+        docs.filter(F.col("doc_id") % 3 == 0).mapInPandas(build_png, schema),
+        "payload",
     ).select(
         "doc_id",
         F.col("format").alias("media_format"),
@@ -744,7 +753,8 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").cast("long").alias("n_bytes"),
     )
     media = multimodal.media_metadata(
-        payloads.filter(F.col("doc_id") % 3 != 0), "payload"
+        docs.filter(F.col("doc_id") % 3 != 0).mapInPandas(build_av, schema),
+        "payload",
     ).select(
         "doc_id",
         "media_format",

@@ -52,14 +52,15 @@ _WS_COLLAPSE_RE = re.compile(r"[ \t\r\f\v]+")
 # raw tag -> lowered name, shared across documents (tag vocab is tiny)
 _TAG_NAME_CACHE: dict[str, str] = {}
 
-# ASCII-only lowercase map. str.lower() is NOT length-preserving (U+0130
-# 'İ' -> 'i̇' is 2 code points), so indexes found in a .lower()ed copy
-# would be shifted offsets into the original buffer. A 1:1 translate
-# table preserves length exactly, and tag names are ASCII by grammar
-# (_TAG_NAME_RE), so ASCII lowering is all the skip-scan needs.
-_ASCII_LOWER = str.maketrans(
-    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
-)
+# Close-tag patterns for the SKIP_CONTENT_TAGS scan, searched on the RAW
+# buffer.  str.lower() is NOT length-preserving (U+0130 'İ' -> 'i̇' is 2
+# code points), so indexes found in a .lower()ed copy would be shifted
+# offsets into the original buffer; a full-buffer translate is
+# length-safe but costs ~30% of kernel time.  re.IGNORECASE|re.ASCII
+# restricts case folding to ASCII (tag names are ASCII by grammar,
+# _TAG_NAME_RE), giving byte-identical match semantics to an
+# ASCII-lowered find with zero buffer copies.  Populated lazily per tag.
+_SKIP_CLOSE_RES: dict[str, "re.Pattern[str]"] = {}
 
 
 @dataclass
@@ -210,7 +211,6 @@ def extract_html(
     buf = data.decode("utf-8", "replace")
     n = len(buf)
     pos = 0
-    lowered: str | None = None
     names = _TAG_NAME_CACHE
     tag_match = _TAG_NAME_RE.match
     find = buf.find
@@ -295,11 +295,15 @@ def extract_html(
                 if name == "a" and not selfclosing:
                     link_depth += 1
                 if name in SKIP_CONTENT_TAGS and not selfclosing:
-                    if lowered is None:
-                        lowered = buf.translate(_ASCII_LOWER)
-                    close_pat = "</" + name + ">"
-                    idx = lowered.find(close_pat, pos)
-                    pos = n if idx < 0 else idx + len(close_pat)
+                    pat = _SKIP_CLOSE_RES.get(name)
+                    if pat is None:
+                        pat = re.compile(
+                            re.escape("</" + name + ">"),
+                            re.IGNORECASE | re.ASCII,
+                        )
+                        _SKIP_CLOSE_RES[name] = pat
+                    m_close = pat.search(buf, pos)
+                    pos = n if m_close is None else m_close.end()
         else:  # close
             if name in BLOCK_TAGS:
                 if raw_chars or parts:

@@ -268,3 +268,110 @@ def make_png_bytes(width: int, height: int) -> bytes:
         + ihdr
         + b"\x00\x00\x00\x00"
     )
+
+
+def resize_images(
+    df: DataFrame,
+    binary_col: str = "payload",
+    max_width: int = 224,
+    max_height: int = 224,
+) -> DataFrame:
+    """Aspect-preserving image resize — real plumbing, stubbed pixels.
+
+    The REAL parts (what a cluster with codecs would keep unchanged):
+    header sniffing, the aspect-preserving target-geometry arithmetic
+    (``scale = min(max_w/w, max_h/h, 1)``, never upscale), the Arrow
+    batch loop, and the output schema (original columns +
+    resized_width/resized_height/resized_payload).  The FAKE part, per
+    the documented container limitation (see :func:`decode_image`), is
+    the pixel transform itself: the resized payload is a synthesized
+    header of the computed geometry (``make_png_bytes``) instead of
+    re-encoded pixels — deterministic, so tests pin the geometry math
+    end-to-end.  Unparseable payloads pass through with -1 geometry and
+    a NULL resized payload (never raise mid-batch at corpus scale)."""
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, payloads = [], [], []
+            for b in pdf[binary_col]:
+                raw = bytes(b) if b is not None else b""
+                fmt, w, h = sniff_image(raw)
+                if fmt == "unknown" or w <= 0 or h <= 0:
+                    ws.append(-1)
+                    hs.append(-1)
+                    payloads.append(None)
+                    continue
+                scale = min(max_width / w, max_height / h, 1.0)
+                nw = max(1, int(w * scale))
+                nh = max(1, int(h * scale))
+                ws.append(nw)
+                hs.append(nh)
+                payloads.append(make_png_bytes(nw, nh))
+            out = pdf.copy()
+            out["resized_width"] = ws
+            out["resized_height"] = hs
+            out["resized_payload"] = payloads
+            yield out
+
+    return df.mapInPandas(
+        resize,
+        schema=f"{fields}, resized_width int, resized_height int, "
+               "resized_payload binary",
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    binary_col: str = "payload",
+    every_ms: int = 1000,
+    max_frames: int = 32,
+) -> DataFrame:
+    """Video frame sampling — real timestamp plumbing, stubbed frames.
+
+    One output row per sampled timestamp: (original id columns, frame_idx,
+    frame_ts_ms, frame_payload).  REAL: the MP4 header parse (duration
+    from mvhd via :func:`sniff_mp4`), the sampling grid arithmetic
+    (every ``every_ms`` from 0, capped at ``max_frames`` — the cap is the
+    standard guard against a corrupt header claiming a year-long video),
+    and the one-row-in/N-rows-out Arrow batch shape every real frame
+    sampler needs.  FAKE: the frame payload is a deterministic
+    hash-seeded PNG header (container ships no codecs — see
+    :func:`decode_image`).  Non-video/unparseable payloads emit zero
+    rows, the batch-safe analog of skipping undecodable media."""
+    keep_cols = [f.name for f in df.schema.fields if f.name != binary_col]
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name != binary_col
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {c: [] for c in keep_cols}
+            idxs, tss, frames = [], [], []
+            for _, rec in pdf.iterrows():
+                b = rec[binary_col]
+                raw = bytes(b) if b is not None else b""
+                meta = sniff_mp4(raw)
+                if meta is None:
+                    continue
+                _brand, duration_ms = meta
+                n = min(max_frames, duration_ms // every_ms + 1) if duration_ms > 0 else 0
+                for i in range(int(n)):
+                    for c in keep_cols:
+                        rows[c].append(rec[c])
+                    idxs.append(i)
+                    ts = i * every_ms
+                    tss.append(ts)
+                    frames.append(make_png_bytes(ts % 640 + 1, ts % 480 + 1))
+            out = pd.DataFrame(rows | {
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                "frame_payload": frames,
+            })
+            yield out
+
+    return df.mapInPandas(
+        sample,
+        schema=f"{fields}, frame_idx long, frame_ts_ms long, frame_payload binary",
+    )

@@ -863,3 +863,42 @@ def test_pack_documents_string_ids(spark):
         n = len(text.split())
         assert got[doc_id] == (n, acc), doc_id
         acc += n
+
+
+def test_resize_images_geometry_and_passthrough(spark):
+    """Aspect-preserving geometry math end-to-end (fake pixels, real
+    plumbing): downscale preserves ratio, small images never upscale,
+    garbage passes through with -1/-NULL instead of raising."""
+    rows = [
+        (1, multimodal.make_png_bytes(640, 480)),   # downscale 224x168
+        (2, multimodal.make_png_bytes(100, 50)),    # small: untouched
+        (3, multimodal.make_png_bytes(480, 640)),   # portrait: 168x224
+        (4, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r for r in multimodal.resize_images(df).collect()}
+    assert (got[1]["resized_width"], got[1]["resized_height"]) == (224, 168)
+    assert (got[2]["resized_width"], got[2]["resized_height"]) == (100, 50)
+    assert (got[3]["resized_width"], got[3]["resized_height"]) == (168, 224)
+    assert got[4]["resized_width"] == -1 and got[4]["resized_payload"] is None
+    # the fake payload is a REAL parseable header of the computed geometry
+    assert multimodal.sniff_image(bytes(got[1]["resized_payload"]))[1:] == (224, 168)
+
+
+def test_sample_frames_grid_and_cap(spark):
+    """Frame-sampling grid: one row per every_ms step from the parsed
+    mvhd duration, capped; non-video rows emit nothing."""
+    rows = [
+        (1, multimodal.make_mp4_bytes(600, 3 * 600)),    # 3000 ms -> 4 frames
+        (2, multimodal.make_mp4_bytes(600, 100 * 600)),  # capped at max_frames
+        (3, multimodal.make_png_bytes(8, 8)),            # not video: 0 rows
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = multimodal.sample_frames(df, every_ms=1000, max_frames=10).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["id"], []).append((r["frame_idx"], r["frame_ts_ms"]))
+    assert sorted(by_id[1]) == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
+    assert len(by_id[2]) == 10  # cap engaged
+    assert 3 not in by_id
+    assert all(r["frame_payload"] is not None for r in got)

@@ -75,17 +75,18 @@ def window_quality() -> dict:
     }
 
 
-def _prior_timings() -> dict:
-    """Per-query figures from the newest BENCH_r*.json next to this file —
-    the reference for the outlier self-defense below (r3 recorded 4-9x
-    noise-inflated best-of-3s for two sub-second queries despite the
-    warmup; a prior-round figure makes 'this rep is hypervisor noise'
-    detectable while the run can still do something about it)."""
+def _prior_timings(sf: float) -> dict:
+    """Per-query figures from the newest comparable BENCH_r*.json next to
+    this file — the reference for the outlier self-defense below (r3
+    recorded 4-9x noise-inflated best-of-3s for two sub-second queries
+    despite the warmup; a prior-round figure makes 'this rep is
+    hypervisor noise' detectable while the run can still do something
+    about it).  Comparable = same sf AND same cpus AND same bench page
+    count — a config change must not be misread as a degraded window."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
     files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     for path in reversed(files):
         try:
             with open(path, encoding="utf-8") as fh:
@@ -94,8 +95,12 @@ def _prior_timings() -> dict:
             if isinstance(prior.get("parsed"), dict):
                 prior = prior["parsed"]
             qs = prior.get("queries")
-            # only figures from the same scale factor are comparable
-            if isinstance(qs, dict) and qs and prior.get("sf") == sf:
+            if (
+                isinstance(qs, dict) and qs
+                and prior.get("sf") == sf
+                and prior.get("cpus") == CPUS
+                and prior.get("bench_pages") == N_PAGES
+            ):
                 return {k: float(v) for k, v in qs.items()}
         except Exception:
             continue
@@ -113,7 +118,10 @@ def main() -> int:
     from ocr_translate_spark.queries import QUERY_FNS
     from ocr_translate_spark.session import get_spark
 
-    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
     window_before = window_quality()
     spark = get_spark("bench", cpus=CPUS)
 
@@ -137,7 +145,7 @@ def main() -> int:
     # the seconds scale (identical reps vary 3-8x within one minute), so
     # a best-of can still get unlucky N times — the rep list makes a
     # noise-dominated run self-evident next to the window calibration
-    prior = _prior_timings()
+    prior = _prior_timings(sf)
     noise_retries: dict[str, int] = {}
 
     extract_reps: list[float] = []

@@ -156,7 +156,10 @@ def curate_corpus(
         )
         cur = cur.join(clean_ids, id_col, "left_semi")
         report.stages.append("decontaminate")
-    report.n_after_decontamination = cur.count()
+        report.n_after_decontamination = cur.count()
+    else:
+        # nothing changed; don't re-run the whole plan for the same number
+        report.n_after_decontamination = report.n_after_near_dedup
 
     # 7. reproducible split — salted content-hash buckets
     out = curation.split_by_hash(cur, id_col, val_fraction=val_fraction)

@@ -171,6 +171,9 @@ class IcebergWarehouse:
         return handle
 
     def read_staged(self, spark: SparkSession, handle: str) -> DataFrame:
+        # `spark` is accepted for Warehouse-interface parity; catalog
+        # resolution always goes through the construction-time session
+        # (the seam primitives), as a staged handle only exists there
         return self._read_table(handle)
 
     def discard_staged(self, handle: str) -> None:

@@ -349,8 +349,9 @@ def sample_frames(
         for pdf in batches:
             rows = {c: [] for c in keep_cols}
             idxs, tss, frames = [], [], []
-            for _, rec in pdf.iterrows():
-                b = rec[binary_col]
+            # column zip, not iterrows: no per-row Series materialization
+            keep_vals = [pdf[c] for c in keep_cols]
+            for j, b in enumerate(pdf[binary_col]):
                 raw = bytes(b) if b is not None else b""
                 meta = sniff_mp4(raw)
                 if meta is None:
@@ -358,8 +359,8 @@ def sample_frames(
                 _brand, duration_ms = meta
                 n = min(max_frames, duration_ms // every_ms + 1) if duration_ms > 0 else 0
                 for i in range(int(n)):
-                    for c in keep_cols:
-                        rows[c].append(rec[c])
+                    for c, vals in zip(keep_cols, keep_vals):
+                        rows[c].append(vals.iloc[j])
                     idxs.append(i)
                     ts = i * every_ms
                     tss.append(ts)

@@ -115,18 +115,19 @@ def brute_force_topk(
     """
     id_dt = corpus.schema[id_col].dataType.simpleString()
     cand_schema = f"query_id {id_dt}, neighbor_id {id_dt}, cosine double"
-    # enforce the small-|Q| contract BEFORE collecting: a caller passing a
-    # second corpus as the query side would otherwise OOM the driver with
-    # no warning.  limit(cap+1) bounds the probe itself to O(cap) rows.
+    # enforce the small-|Q| contract: limit(cap+1) bounds what can reach
+    # the driver, and one over-cap row proves the violation — a caller
+    # passing a second corpus as the query side fails loudly instead of
+    # OOMing the driver, in the SAME collect that serves the happy path.
     cap = _QUERY_SET_CAP
-    if len(queries.select(id_col).limit(cap + 1).collect()) > cap:
+    q_rows = queries.select(id_col, vec_col).limit(cap + 1).collect()
+    if len(q_rows) > cap:
         raise ValueError(
             f"brute_force_topk query side exceeds the {cap}-row probe-set "
             "contract (it is collected to the driver and shipped in the "
             "task closure); for corpus-vs-corpus similarity use the "
             "join-based embedding_near_dups / ivf_topk paths instead"
         )
-    q_rows = queries.select(id_col, vec_col).collect()
     # ids keep their native dtype (numpy infers int64/unicode/object);
     # only equality + ordering are required of them
     q_ids = np.array([r[id_col] for r in q_rows])

@@ -276,8 +276,10 @@ def rarity_scores(df, id_col: str, text_col: str):
             )
         ).alias("idx", "word"),
     )
+    # no per-pair sort: the downstream global array_sort over the
+    # flattened (idx, cnt) structs establishes the order regardless
     pairs = toks.groupBy("doc_id", "word").agg(
-        F.sort_array(F.collect_list("idx")).alias("idxs")
+        F.collect_list("idx").alias("idxs")
     )
     # vocab from toks, not pairs: the count aggregate map-side-combines to
     # per-partition distinct words (a light branch), whereas deriving it

@@ -151,12 +151,14 @@ def run_extraction(
             }
 
         # Pre-stamped: the id this commit will get under the documented
-        # single-writer contract.  If a concurrent writer wins the race,
-        # commit() rebase-retries onto a HIGHER id, so the ledger column
-        # is ADVISORY under concurrency — run_id is the authoritative run
-        # linkage (nothing read-side resolves through ledger snapshot_id;
-        # read_extracted tie-breaks on extractor_version/options_hash).
-        # The stats dict always reports the real committed id.
+        # single-writer contract.  Under a concurrency race the parquet
+        # emulation rebase-retries onto a HIGHER id (the Iceberg branch
+        # instead raises ConcurrentCommitError and nothing publishes), so
+        # the ledger column is ADVISORY under concurrency — run_id is the
+        # authoritative run linkage (nothing read-side resolves through
+        # ledger snapshot_id; read_extracted tie-breaks on
+        # extractor_version/options_hash).  The stats dict always reports
+        # the real committed id.
         snapshot_id = wh.current_snapshot_id() + 1
         runs_new = slim.select(
             "url", "extractor_version", "options_hash", "text_hash"

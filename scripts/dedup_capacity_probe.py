@@ -118,9 +118,13 @@ def main() -> int:
     jp = dedup.jaccard_pairs(big, "id", "text", n=8, threshold=0.8).persist()
     n_jp = jp.count()
     results["jaccard_pairs"] = time.monotonic() - t0
-    planted_pairs = big.filter(F.col("is_dup") == 1).select(
-        (F.col("id") - 1).alias("id_a"), F.col("id").alias("id_b")
-    )
+    # restrict to >=8-word planted docs so the equality below matches
+    # n_planted_8w exactly (a <8-word doc still emits one truncated
+    # shingle and its exact dup pairs at jaccard 1.0)
+    planted_pairs = big.filter(
+        (F.col("is_dup") == 1)
+        & (F.size(F.split(F.col("text"), r"\s+", -1)) >= 8)
+    ).select((F.col("id") - 1).alias("id_a"), F.col("id").alias("id_b"))
     n_planted_found = jp.filter(F.col("jaccard") == 1.0).join(
         planted_pairs, ["id_a", "id_b"], "left_semi"
     ).count()

@@ -69,10 +69,11 @@ class FakeIcebergWarehouse(IcebergWarehouse):
     recorded verbatim; unrecognized statements raise — the protocol test
     asserts exact strings AND their ordering."""
 
-    _SNAPSHOT_COUNTER = [100]  # Iceberg ids are arbitrary longs; monotone here
-
     def __init__(self, namespace: str):
         # state BEFORE super().__init__ — it issues CREATE NAMESPACE via _sql
+        # per-instance counter: a class-level one would couple tests (the
+        # concurrency test's rival id must stay above every local id)
+        self._SNAPSHOT_COUNTER = [100]
         self.statements: list[str] = []
         # full table name -> list of (iceberg_snapshot_id, rows) versions;
         # the last entry is the current state

@@ -41,7 +41,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
-from .operators import curation, dedup, textstats
+from .operators import curation, dedup, textstats, urls
 
 
 @dataclass
@@ -49,6 +49,7 @@ class CurationReport:
     """Per-stage survivor counts (documents entering -> leaving)."""
 
     n_input: int = 0
+    n_after_url_filter: int = 0
     n_after_quality: int = 0
     n_after_line_dedup: int = 0
     n_after_exact_dedup: int = 0
@@ -60,7 +61,7 @@ class CurationReport:
 
     def as_dict(self) -> dict:
         return {k: getattr(self, k) for k in (
-            "n_input", "n_after_quality", "n_after_line_dedup",
+            "n_input", "n_after_url_filter", "n_after_quality", "n_after_line_dedup",
             "n_after_exact_dedup", "n_after_near_dedup",
             "n_after_decontamination", "n_output", "n_val",
         )} | {"stages": list(self.stages)}
@@ -72,6 +73,9 @@ def curate_corpus(
     text_col: str = "text",
     *,
     benchmark: DataFrame | None = None,
+    blocklist: DataFrame | None = None,
+    max_per_host: int | None = None,
+    url_col: str | None = None,
     near_threshold: float = 0.8,
     min_words: int = 20,
     max_line_frac: float = 0.3,
@@ -84,7 +88,12 @@ def curate_corpus(
     ``curated_df`` columns: (id_col, text_col, split) — text is the
     cleaned/scrubbed form; ``split`` is the salted-hash train/val label.
     ``benchmark`` (optional) is the eval-suite DataFrame for stage 6; it
-    needs a ``text`` column.
+    needs a ``text`` column.  ``blocklist`` (optional, one ``host``
+    column) and ``max_per_host`` (optional quota) switch on a stage-0
+    url filter over ``url_col`` (default: ``id_col`` — url-keyed
+    corpora key curation on the url itself): broadcast host-blocklist
+    anti-join + deterministic per-host cap, both BEFORE any payload
+    work, per the C4/RefinedWeb ordering.
 
     The report's counts are computed with one action per stage boundary
     — acceptable for an audited batch run (each is a count over an
@@ -98,6 +107,21 @@ def curate_corpus(
     """
     report = CurationReport()
     report.n_input = df.count()
+
+    # 0. url filters — host blocklist + per-host quota, before any
+    # payload-touching stage (both corpus-shuffle-free: broadcast anti
+    # join + a host-keyed window)
+    ucol = url_col or id_col
+    if blocklist is not None:
+        df = urls.filter_blocklisted_hosts(df, blocklist, url_col=ucol)
+        report.stages.append("host_blocklist")
+    if max_per_host:
+        df = urls.host_caps(df, url_col=ucol, max_per_host=max_per_host)
+        report.stages.append("host_caps")
+    if blocklist is not None or max_per_host:
+        report.n_after_url_filter = df.count()
+    else:
+        report.n_after_url_filter = report.n_input
 
     # 1. quality gate — narrow map; scores every doc, keeps passers
     gk = dict(gopher_kwargs or {})

@@ -1,0 +1,124 @@
+"""URL normalization + host-level filtering (web-curation stage 0).
+
+The standard pre-filters every Common-Crawl-style pipeline runs before
+touching page payloads (C4 used a blocklist; RefinedWeb/FineWeb filter
+by domain lists and normalize URLs before dedup): all pure column
+expressions — narrow maps and one broadcast join, nothing here ever
+shuffles the corpus.
+
+ref parity note: the reference keys its cache on the image md5
+(ref ocr_translate/views.py:266-268); the web-scale analog keys on the
+normalized url, which is why normalization belongs to the engine — two
+spellings of one url must not double-extract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tracking parameters stripped during normalization (the industry-common
+# set: Google/Facebook/Mailchimp click identifiers)
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "mc_cid", "mc_eid", "ref",
+)
+
+
+def host_of(url: Column) -> Column:
+    """The lowercased host, default port stripped (empty string when the
+    url has no ``scheme://host/`` shape)."""
+    host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    # strip credentials then the default-port suffix
+    host = F.regexp_replace(host, r"^[^@]*@", "")
+    return F.regexp_replace(host, r":(80|443)$", "")
+
+
+def registered_domain(url: Column) -> Column:
+    """Last-two-labels domain approximation (``a.b.example.com`` ->
+    ``example.com``).  A public-suffix-list lookup is the production
+    refinement (the PSL file ships with the job as a broadcast dim); the
+    two-label fallback is deterministic and dependency-free."""
+    return F.regexp_extract(host_of(url), r"([^.]+\.[^.]+)$", 1)
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical url for content addressing: lowercase scheme+host,
+    default port stripped, fragment dropped, tracking params removed,
+    remaining query keys sorted, trailing slash collapsed (except root).
+
+    Pure column expressions (regexp + array ops) — runs at scan speed;
+    the memoization ledger and dedup keys should always use this form."""
+    # drop the fragment first
+    u = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    rest_after_host = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # split the query, drop tracking params, sort the survivors
+    pairs = F.filter(
+        F.split(query, "&", -1),
+        lambda p: (p != F.lit(""))
+        & ~F.regexp_extract(p, r"^([^=]*)", 1).isin(*TRACKING_PARAMS),
+    )
+    sorted_q = F.array_join(F.array_sort(pairs), "&")
+    path = F.when(rest_after_host == "", F.lit("/")).otherwise(
+        # collapse a trailing slash on non-root paths
+        F.regexp_replace(rest_after_host, r"(.)/$", "$1")
+    )
+    base = F.concat(scheme, F.lit("://"), host_of(u), path)
+    return F.when(
+        scheme == "", url  # not a scheme://host url: leave untouched
+    ).otherwise(
+        F.when(sorted_q == "", base).otherwise(F.concat(base, F.lit("?"), sorted_q))
+    )
+
+
+def filter_blocklisted_hosts(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    by_registered_domain: bool = True,
+) -> DataFrame:
+    """Drop rows whose host (or registered domain) appears in
+    ``blocklist`` (a one-column ``host`` DataFrame — UT1/adult-list
+    shaped).  The blocklist is broadcast (these lists are a few MB
+    against a corpus of TB), so the corpus never shuffles: one narrow
+    host extraction + one broadcast LEFT ANTI join."""
+    key = registered_domain(F.col(url_col)) if by_registered_domain else host_of(
+        F.col(url_col)
+    )
+    bl = F.broadcast(blocklist.select(F.lower(F.col("host")).alias("_bl_host")))
+    return (
+        df.withColumn("_host_key", key)
+        .join(bl, F.col("_host_key") == F.col("_bl_host"), "left_anti")
+        .drop("_host_key")
+    )
+
+
+def host_caps(
+    df: DataFrame,
+    url_col: str = "url",
+    max_per_host: int = 100_000,
+    seed: str = "v1",
+) -> DataFrame:
+    """Per-host document quota (domain-cap sampling, the anti-SEO-farm
+    guard every web corpus applies): keep at most ``max_per_host`` rows
+    per host, chosen by a DETERMINISTIC salted-hash ranking so reruns
+    and corpus growth keep stable samples (same contract as
+    curation.split_by_hash).
+
+    One window over the host key — the host distribution is exactly the
+    skew host_stats surfaces, so at 100 TB this window wants the same
+    salted two-level treatment as pack_documents IF a single host
+    exceeds executor memory; at the documented cap the per-host state is
+    bounded by max_per_host row ids, which row_number streams without
+    materializing."""
+    from pyspark.sql import Window
+
+    host = host_of(F.col(url_col))
+    rank_key = F.xxhash64(F.concat(F.col(url_col), F.lit(seed)))
+    w = Window.partitionBy(host).orderBy(rank_key, F.col(url_col))
+    return (
+        df.withColumn("_hc_rn", F.row_number().over(w))
+        .filter(F.col("_hc_rn") <= max_per_host)
+        .drop("_hc_rn")
+    )

@@ -74,3 +74,21 @@ def test_curate_corpus_no_benchmark_no_scrub(spark):
     assert rep.n_input == rep.n_output == 12
     assert "decontaminate" not in rep.stages and "pii_scrub" not in rep.stages
     assert out.columns == ["doc_id", "text", "split"]
+
+
+def test_curate_corpus_url_stage(spark):
+    """Stage-0 url filters: blocklisted hosts drop, per-host quota caps,
+    both before any payload stage."""
+    rows = [(f"https://farm.example/p{i}", _sentence(i)) for i in range(8)]
+    rows += [(f"https://ok.example/p{i}", _sentence(20 + i)) for i in range(4)]
+    rows += [(f"https://bad.example/p{i}", _sentence(40 + i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    bl = spark.createDataFrame([("bad.example",)], "host string")
+    out, rep = curate_corpus(
+        df, min_words=10, scrub=False, blocklist=bl, max_per_host=5,
+    )
+    assert rep.n_input == 15
+    assert rep.n_after_url_filter == 9  # 3 blocklisted dropped, farm capped at 5
+    hosts = [r["doc_id"].split("/")[2] for r in out.collect()]
+    assert hosts.count("farm.example") == 5 and "bad.example" not in hosts
+    assert rep.stages[:2] == ["host_blocklist", "host_caps"]

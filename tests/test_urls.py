@@ -1,0 +1,79 @@
+"""URL normalization + host filtering operators (web-curation stage 0)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_translate_spark.operators import urls
+
+
+def _norm(spark, raw: str) -> str:
+    df = spark.createDataFrame([(raw,)], "url string")
+    return df.select(urls.normalize_url(F.col("url")).alias("n")).first()["n"]
+
+
+def test_normalize_url_canonical_forms(spark):
+    # host lowercased, default port stripped, fragment dropped
+    assert _norm(spark, "HTTPS://Example.COM:443/Path#frag") == "https://example.com/Path"
+    # tracking params removed, remaining query sorted
+    assert _norm(
+        spark, "http://h.test/p?utm_source=x&b=2&a=1&fbclid=zzz"
+    ) == "http://h.test/p?a=1&b=2"
+    # all-tracking query collapses entirely
+    assert _norm(spark, "http://h.test/p?gclid=1") == "http://h.test/p"
+    # trailing slash collapsed on non-root, root kept
+    assert _norm(spark, "http://h.test/a/") == "http://h.test/a"
+    assert _norm(spark, "http://h.test") == "http://h.test/"
+    # non-url strings pass through untouched
+    assert _norm(spark, "not a url") == "not a url"
+    # path case is PRESERVED (only scheme/host fold)
+    assert _norm(spark, "http://H.test/CaseSensitive") == "http://h.test/CaseSensitive"
+
+
+def test_host_and_registered_domain(spark):
+    df = spark.createDataFrame(
+        [("https://user:pw@A.B.Example.com:443/x?q=1",)], "url string"
+    )
+    row = df.select(
+        urls.host_of(F.col("url")).alias("h"),
+        urls.registered_domain(F.col("url")).alias("d"),
+    ).first()
+    assert row["h"] == "a.b.example.com"
+    assert row["d"] == "example.com"
+
+
+def test_filter_blocklisted_hosts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.bad.example/x"),
+            (2, "https://sub.bad.example/y"),
+            (3, "https://good.example/z"),
+        ],
+        "id long, url string",
+    )
+    bl = spark.createDataFrame([("bad.example",)], "host string")
+    kept = urls.filter_blocklisted_hosts(df, bl).select("id").collect()
+    assert {r["id"] for r in kept} == {3}
+    # exact-host mode only drops the literal host
+    kept2 = urls.filter_blocklisted_hosts(
+        df, spark.createDataFrame([("spam.bad.example",)], "host string"),
+        by_registered_domain=False,
+    ).select("id").collect()
+    assert {r["id"] for r in kept2} == {2, 3}
+    assert "_host_key" not in urls.filter_blocklisted_hosts(df, bl).columns
+
+
+def test_host_caps_deterministic_quota(spark):
+    rows = [(i, f"https://farm.example/p{i}") for i in range(50)]
+    rows += [(100 + i, f"https://small.example/p{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, url string").repartition(8)
+    capped = urls.host_caps(df, max_per_host=10)
+    by_host = {}
+    for r in capped.collect():
+        h = r["url"].split("/")[2]
+        by_host.setdefault(h, set()).add(r["id"])
+    assert len(by_host["farm.example"]) == 10
+    assert len(by_host["small.example"]) == 3
+    # deterministic: the same quota sample on re-run
+    again = {r["id"] for r in urls.host_caps(df, max_per_host=10).collect()}
+    assert again == {i for s in by_host.values() for i in s}

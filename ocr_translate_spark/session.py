@@ -41,11 +41,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # large html payloads: bound Arrow batches by rows AND bytes so a
         # run of giant co-located pages (web corpora are host-clustered;
-        # single pages reach many MB) cannot blow the python worker — the
-        # row cap alone admits 256 × pagesize bytes per batch
+        # single pages reach many MB) cannot blow the python worker
         # (north_star C4 analog; the byte bound is verified effective on
-        # the batched mapInPandas input path in Spark 4.1)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # the batched mapInPandas input path in Spark 4.1).  1024 rows:
+        # +18% on the Arrow extract stage vs 256 (fewer batch
+        # boundaries; docs/PLANS.md round-4 audit), while giant-page runs
+        # hit the 64 MB byte bound long before the row cap
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.execution.arrow.maxBytesPerBatch",
                 str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

@@ -77,3 +77,31 @@ def test_host_caps_deterministic_quota(spark):
     # deterministic: the same quota sample on re-run
     again = {r["id"] for r in urls.host_caps(df, max_per_host=10).collect()}
     assert again == {i for s in by_host.values() for i in s}
+
+
+def test_normalize_url_idempotent(spark):
+    """Canonicalization must be a fixed point: normalize(normalize(u)) ==
+    normalize(u) for a grid of messy url shapes (double application is
+    what happens when a re-crawl re-ingests an already-normalized
+    ledger)."""
+    raws = [
+        "HTTP://A.B.C:80/x/y/?b=2&a=1&utm_source=s#frag",
+        "https://h.test:443/",
+        "https://h.test//double//slash/",
+        "ftp://H.TEST/file",
+        "https://h.test/p?ref=x",
+        "https://h.test/p?a=&b=1",
+        "https://user@h.test/p",
+        "not a url at all",
+        "",
+        "https://h.test/p?a=1&a=0",  # duplicate keys keep both, sorted
+    ]
+    df = spark.createDataFrame([(r,) for r in raws], "url string")
+    once = df.select(
+        F.col("url"), urls.normalize_url(F.col("url")).alias("n1")
+    )
+    twice = once.select(
+        "url", "n1", urls.normalize_url(F.col("n1")).alias("n2")
+    ).collect()
+    for r in twice:
+        assert r["n1"] == r["n2"], (r["url"], r["n1"], r["n2"])

@@ -74,18 +74,52 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _shingle_array(text_col, n: int):
-    """Column expr: distinct word n-gram shingles of a text column."""
+    """Column expr: distinct word n-gram shingles of a text column
+    (STRING grams — kept for oracle-parity consumers that must replay
+    the gram text in SQL; the hot paths use :func:`_shingle_hash_array`)."""
     words = F.filter(F.split(F.lower(text_col), r"\s+", -1), lambda x: x != F.lit(""))
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
     return F.array_distinct(grams)
 
 
+def _word_hash_array(text_col):
+    """Column expr: xxhash64 of every word, one pass over the text."""
+    words = F.filter(F.split(F.lower(text_col), r"\s+", -1), lambda x: x != F.lit(""))
+    return F.transform(words, lambda w: F.xxhash64(w))
+
+
+def _gram_hashes_from(wh_col, n: int):
+    """Distinct n-gram hashes from a MATERIALIZED word-hash array column:
+    the n word hashes combine through one more xxhash64 — the gram never
+    materializes as a string, so per-gram cost drops from slice+concat
+    allocation to one long hash, and anything keyed on shingles shuffles
+    8-byte longs instead of text.  Distinct word n-grams map to distinct
+    hashes modulo a 2^-64 collision (the standard shingling trade; same
+    rationale as the 60-bit portable gram hashes in _word_gram_table).
+
+    ``wh_col`` MUST be a projected column, not an inline expression: the
+    lambda references it n times per gram, and an inline transform would
+    be re-evaluated per reference — an O(words^2) blowup (measured 2-3x
+    end-to-end before the two-phase split).  ``F.get`` (0-based, NULL
+    past the end) keeps the truncated-gram semantics of the string
+    version for docs shorter than ``n`` without tripping ANSI element_at
+    bounds checks — Spark's hash functions fold NULL inputs by skipping
+    them."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(wh_col) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(*[F.get(wh_col, i + j) for j in range(n)])
+    )
+    return F.array_distinct(grams)
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_shingle_array(F.col(text_col), n)).alias("shingle"),
+    """Distinct word n-gram shingle hashes per doc: (id, shingle:long)."""
+    wh = df.select(
+        F.col(id_col).alias("id"), _word_hash_array(F.col(text_col)).alias("_wh")
+    )
+    return wh.select(
+        "id", F.explode(_gram_hashes_from(F.col("_wh"), n)).alias("shingle")
     )
 
 
@@ -253,18 +287,19 @@ def minhash_signatures(
         return pd.Series([row if ok else None for row, ok in zip(out, nz)])
 
     # NULL/zero-word text -> NULL base -> NULL sig.  Without the guard,
-    # greatest(null,0)/concat_ws smuggle null AND whitespace-only texts
-    # into a shared {""} shingle set, whose identical sentinel signatures
-    # would collide every empty doc into the same LSH buckets (O(m^2)
+    # greatest(null,0) smuggles null AND whitespace-only texts into a
+    # shared sentinel shingle set, whose identical signatures would
+    # collide every empty doc into the same LSH buckets (O(m^2)
     # fabricated pairs) and diverge from the len(words)>0 oracle filter.
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda x: x != F.lit("")
+    # Two-phase projection: the word-hash array MUST be a materialized
+    # column before the gram lambda references it (_gram_hashes_from).
+    wh = df.select(
+        F.col(id_col).alias("id"), _word_hash_array(F.col(text_col)).alias("_wh")
     )
     base = F.when(
-        F.size(words) > 0,
-        F.transform(_shingle_array(F.col(text_col), n), lambda x: F.xxhash64(x)),
+        F.size(F.col("_wh")) > 0, _gram_hashes_from(F.col("_wh"), n)
     )
-    return df.select(F.col(id_col).alias("id"), minhash_from_base(base).alias("sig"))
+    return wh.select("id", minhash_from_base(base).alias("sig"))
 
 
 def minhash_lsh_candidates(

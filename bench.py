@@ -33,6 +33,7 @@ BENCH_QUERIES = (
     "top_suppliers_by_revenue",
     "minhash_lsh",
     "simhash",
+    "jaccard_pairs",
     "embedding_topk",
     "pack_documents",
     "gopher_rules",

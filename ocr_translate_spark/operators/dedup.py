@@ -247,7 +247,12 @@ def shared_ngram_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    drop_empty: bool = False,
 ) -> DataFrame:
     """(id, sig array<long>): MinHash signature, zero-shuffle.
 
@@ -293,9 +298,15 @@ def minhash_signatures(
     # fabricated pairs) and diverge from the len(words)>0 oracle filter.
     # Two-phase projection: the word-hash array MUST be a materialized
     # column before the gram lambda references it (_gram_hashes_from).
+    # ``drop_empty`` removes zero-word docs with a JVM filter BEFORE the
+    # UDF: a post-hoc ``filter(sig.isNotNull())`` on the UDF output gets
+    # pushed below the projection as a SECOND ArrowEvalPython node with
+    # the whole expression collapsed inline — measured 25x slower.
     wh = df.select(
         F.col(id_col).alias("id"), _word_hash_array(F.col(text_col)).alias("_wh")
     )
+    if drop_empty:
+        wh = wh.filter(F.size(F.col("_wh")) > 0)
     base = F.when(
         F.size(F.col("_wh")) > 0, _gram_hashes_from(F.col("_wh"), n)
     )
@@ -332,8 +343,8 @@ def minhash_lsh_candidates(
     # branch (4x per doc, 6x counting the null filter).  persist() swaps
     # an InMemoryRelation into all occurrences; at warehouse scale the
     # equivalent is writing the (tiny, 32x8B/doc) signature table once.
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).filter(
-        F.col("sig").isNotNull()
+    sigs = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, drop_empty=True
     )
     if materialize:
         sigs = sigs.persist()
@@ -390,7 +401,11 @@ def minhash_lsh_candidates(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, max_chunk_tokens: int = 1 << 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_chunk_tokens: int = 1 << 16,
+    drop_empty: bool = False,
 ) -> DataFrame:
     """(id, simhash long): 63-bit SimHash over whitespace tokens (bit 63 =
     long sign bit, skipped to stay ANSI-safe).
@@ -444,11 +459,15 @@ def simhash_signatures(
         # empty doc in one bucket and fabricate O(m^2) near-dup pairs
         return pd.Series([int(v) if ok else None for v, ok in zip(out, nz)])
 
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda x: x != F.lit("")
+    # drop_empty: JVM pre-filter instead of a post-hoc isNotNull on the
+    # UDF output (which re-evaluates the UDF in a second ArrowEvalPython
+    # node — see minhash_signatures)
+    wh = df.select(
+        F.col(id_col).alias("id"), _word_hash_array(F.col(text_col)).alias("_wh")
     )
-    base = F.transform(words, lambda x: F.xxhash64(x))
-    return df.select(F.col(id_col).alias("id"), simhash_from_base(base).alias("simhash"))
+    if drop_empty:
+        wh = wh.filter(F.size(F.col("_wh")) > 0)
+    return wh.select("id", simhash_from_base(F.col("_wh")).alias("simhash"))
 
 
 def simhash_near_dups(
@@ -467,9 +486,7 @@ def simhash_near_dups(
     # materialized once for the same reason as the MinHash banding: the
     # quarter self-join would re-run the signature UDF per branch
     # (see minhash_lsh_candidates for the cache-lifecycle notes)
-    sigs = simhash_signatures(df, id_col, text_col).filter(
-        F.col("simhash").isNotNull()
-    )
+    sigs = simhash_signatures(df, id_col, text_col, drop_empty=True)
     if materialize:
         sigs = sigs.persist()
     quarters = sigs.select(

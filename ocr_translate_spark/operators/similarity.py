@@ -82,6 +82,24 @@ def as_double(col) -> "F.Column":
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _nonzero_vec(vec_col) -> "F.Column":
+    """JVM-exact analog of ``_norm > 0``: the SAME index-ordered float64
+    sum-of-squares fold as dot_udf/_ordered_dot, as a pure column
+    expression — used to PRE-filter zero vectors so the norm UDF only
+    ever runs on survivors.  A filter on the UDF's output column
+    compiles to a second ArrowEvalPython node that re-evaluates the UDF
+    (see dedup.minhash_signatures drop_empty); this condition is
+    bit-equivalent (0.0-seeded left fold, correctly-rounded +,*) so the
+    surviving row set is IDENTICAL to filtering on the computed norm —
+    the oracles' nrm > 0 semantics are preserved exactly."""
+    sq = F.aggregate(
+        vec_col,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return sq > 0.0
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding", exact: bool = True) -> DataFrame:
     """Attach the L2 norm (Arrow-vectorized; ``exact`` selects the
     index-ordered accumulation needed for cross-engine bit-identity)."""
@@ -262,16 +280,18 @@ def lsh_topk(
     corpus = corpus.select(id_col, vec_col)
     queries = queries.select(id_col, vec_col)
     c = add_lsh_bucket(
-        with_norm(corpus, vec_col, exact_math), vec_col, n_planes, seed
-    ).filter(F.col("_norm") > 0).select(
+        with_norm(corpus.filter(_nonzero_vec(F.col(vec_col))), vec_col, exact_math),
+        vec_col, n_planes, seed,
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         F.col("_norm").alias("_cnorm"),
         "bucket",
     )
     q = add_lsh_bucket(
-        with_norm(queries, vec_col, exact_math), vec_col, n_planes, seed
-    ).filter(F.col("_norm") > 0).select(
+        with_norm(queries.filter(_nonzero_vec(F.col(vec_col))), vec_col, exact_math),
+        vec_col, n_planes, seed,
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
         F.col("_norm").alias("_qnorm"),
@@ -395,16 +415,18 @@ def ivf_topk(
     corpus = corpus.select(id_col, vec_col)
     queries = queries.select(id_col, vec_col)
     c = _assign_cells(
-        with_norm(corpus, vec_col, exact_math), centroids, vec_col, 1
-    ).filter(F.col("_norm") > 0).select(
+        with_norm(corpus.filter(_nonzero_vec(F.col(vec_col))), vec_col, exact_math),
+        centroids, vec_col, 1,
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         F.col("_norm").alias("_cnorm"),
         F.col("cells")[0].alias("cell"),
     )
     q = _assign_cells(
-        with_norm(queries, vec_col, exact_math), centroids, vec_col, n_probe
-    ).filter(F.col("_norm") > 0).select(
+        with_norm(queries.filter(_nonzero_vec(F.col(vec_col))), vec_col, exact_math),
+        centroids, vec_col, n_probe,
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
         F.col("_norm").alias("_qnorm"),
@@ -450,8 +472,8 @@ def embedding_near_dups(
     # Projected to (id, vec) FIRST (no unrelated columns in the cache or
     # exchanges); zero-norm rows dropped (undefined cosine; oracle
     # filters nrm > 0 identically)
-    base = with_norm(df.select(id_col, vec_col), vec_col).filter(
-        F.col("_norm") > 0
+    base = with_norm(
+        df.select(id_col, vec_col).filter(_nonzero_vec(F.col(vec_col))), vec_col
     ).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), F.col("_norm").alias("_n")
     )

@@ -499,3 +499,201 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------- PQ (ADC)
+
+def _pq_kmeans(sample: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
+    """Plain (L2) k-means for one PQ subspace on a driver-side sample —
+    deterministic: seeded init, fixed iterations, argmin ties to the
+    lowest index.  Empty clusters keep their previous centroid (stable
+    under reruns)."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(sample))
+    cents = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    n_centroids: int = 256,
+    seed: int = 11,
+    sample_size: int = 2048,
+    iters: int = 8,
+) -> np.ndarray:
+    """(n_subspaces, n_centroids, d/n_subspaces) PQ codebooks from a
+    bounded, deterministic sample (same contract as train_ivf_centroids:
+    orderBy(id).limit is a distributed top-k read, never a full sort).
+    The vector dimension must divide evenly by ``n_subspaces``."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    sample = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    d = sample.shape[1]
+    if d % n_subspaces:
+        raise ValueError(f"dim {d} not divisible by n_subspaces {n_subspaces}")
+    sub = d // n_subspaces
+    return np.stack([
+        _pq_kmeans(sample[:, s * sub:(s + 1) * sub], n_centroids, seed + s, iters)
+        for s in range(n_subspaces)
+    ])
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each vector quantized to its nearest
+    centroid per subspace — m small ints instead of d floats (the
+    memory-bounded ANN index: 128-dim float64 = 1 KB/vec becomes m=8
+    bytes-ish of codes).  One Arrow pass, batch distance computation
+    against the (tiny, closure-shipped) codebooks; the corpus never
+    shuffles."""
+    cbs = codebooks
+    m, k, sub = cbs.shape
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _stack(pdf[vec_col])
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for s in range(m):
+                seg = mat[:, s * sub:(s + 1) * sub]
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+                d2 = (
+                    -2.0 * seg @ cbs[s].T
+                    + (cbs[s] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col], "codes": list(codes)})
+
+    out_schema = "id " + df.schema[id_col].dataType.simpleString() + ", codes array<long>"
+    return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank: int = 32,
+) -> DataFrame:
+    """PQ top-k with asymmetric distance computation + exact re-rank:
+    (query_id, neighbor_id, cosine, rank).
+
+    Stage 1 (ADC, over the CODES table only): per query, a (m x k)
+    distance table against the codebooks is computed driver-side and
+    shipped in the closure; each Arrow batch scores its rows as
+    ``sum_s table[s, code_s]`` — table lookups, no float vectors touched
+    — and keeps a per-batch partial top-``rerank``.  The codes table is
+    m longs per doc, so at 100 TB the scan is ~d*8/m times smaller than
+    the raw vectors and never shuffles.
+    Stage 2: the surviving ``rerank`` candidates per query join back to
+    the raw vectors (a candidate-sized join, not a corpus scan) and are
+    re-ranked by EXACT cosine (the bit-exact ordered fold), so returned
+    scores are true cosines — approximation affects recall only, the
+    values are exact.  Same query-side probe-set contract/cap as
+    brute_force_topk."""
+    cbs = codebooks
+    m, kc, sub = cbs.shape
+    cap = _QUERY_SET_CAP
+    q_rows = queries.select(id_col, vec_col).limit(cap + 1).collect()
+    if len(q_rows) > cap:
+        raise ValueError(
+            f"pq_topk query side exceeds the {cap}-row probe-set contract"
+        )
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    if len(q_rows):
+        qn = np.sqrt(_ordered_dot(q_mat, q_mat))
+        nz = qn > 0.0
+        q_ids, q_mat = q_ids[nz], q_mat[nz]
+    id_dt = corpus.schema[id_col].dataType.simpleString()
+    if not len(q_ids):
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {id_dt}, neighbor_id {id_dt}, cosine double, rank int"
+        )
+    # per-query ADC tables: squared L2 from each query subvector to every
+    # centroid (L2-ADC ranks ~cosine for the re-rank prefilter; exact
+    # cosine decides the final order)
+    tables = np.stack([
+        np.stack([
+            ((q_mat[qi, s * sub:(s + 1) * sub][None, :] - cbs[s]) ** 2).sum(axis=1)
+            for s in range(m)
+        ])
+        for qi in range(len(q_ids))
+    ])  # (nq, m, kc)
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy())  # (n, m)
+            ids = pdf["id"].to_numpy()
+            # dist[q, row] = sum_s tables[q, s, codes[row, s]]
+            n = len(ids)
+            dist = np.zeros((len(q_ids), n), dtype=np.float64)
+            for s in range(m):
+                dist += tables[:, s, codes[:, s]]
+            keep = min(rerank, n)
+            part = np.argpartition(dist, keep - 1, axis=1)[:, :keep]
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(q_ids)):
+                out_q.extend([q_ids[qi]] * keep)
+                out_n.extend(ids[part[qi]])
+                out_d.extend(dist[qi, part[qi]])
+            yield pd.DataFrame({
+                "query_id": out_q, "neighbor_id": out_n, "adc": out_d,
+            })
+
+    cand = corpus_codes.mapInPandas(
+        adc, f"query_id {id_dt}, neighbor_id {id_dt}, adc double"
+    )
+    # global per-query top-`rerank` by ADC, then exact-cosine re-rank on
+    # the joined raw vectors (candidate-sized, not corpus-sized)
+    w_adc = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    short = (
+        cand.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= rerank)
+        .drop("_r", "adc")
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    ).filter(_nonzero_vec(F.col(vec_col)))
+    qdf = corpus.sparkSession.createDataFrame(
+        [(i, v.tolist()) for i, v in zip(q_ids.tolist(), q_mat)],
+        f"query_id {id_dt}, _qvec array<double>",
+    )
+    scored = (
+        short.join(vecs, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            dot_udf(F.col("_cvec"), F.col("_qvec"))
+            / (
+                F.sqrt(dot_udf(F.col("_cvec"), F.col("_cvec")))
+                * F.sqrt(dot_udf(F.col("_qvec"), F.col("_qvec")))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -902,3 +902,79 @@ def test_sample_frames_grid_and_cap(spark):
     assert len(by_id[2]) == 10  # cap engaged
     assert 3 not in by_id
     assert all(r["frame_payload"] is not None for r in got)
+
+
+# -------------------------------------------------------------- PQ / ADC
+
+def _clustered_vecs(spark, n=240, d=16, n_clusters=6, seed=3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, d) * 5
+    rows = []
+    for i in range(n):
+        v = centers[i % n_clusters] + rng.randn(d) * 0.3
+        rows.append((i, v.tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_roundtrip_recall_vs_brute_force(spark):
+    """PQ+ADC with exact re-rank must recover most true neighbors on
+    clustered data (deterministic: seeded codebooks, fixed sample)."""
+    df = _clustered_vecs(spark)
+    cbs = similarity.train_pq_codebooks(df, n_subspaces=4, n_centroids=32)
+    assert cbs.shape == (4, 32, 4)
+    codes = similarity.pq_encode(df, cbs)
+    row = codes.first()
+    assert len(row["codes"]) == 4 and all(0 <= c < 32 for c in row["codes"])
+
+    queries = df.limit(8)
+    exact = similarity.brute_force_topk(df, queries, k=5)
+    approx = similarity.pq_topk(codes, df, queries, cbs, k=5, rerank=40)
+
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.8, (hits, total)
+    # returned scores are TRUE cosines (exact re-rank): every returned
+    # (query, neighbor) cosine matches the brute-force value
+    ex = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ex:
+            assert r["cosine"] == ex[key]
+
+
+def test_pq_full_rerank_equals_brute_force(spark):
+    """Degenerate certificate: rerank >= corpus size makes the ADC stage
+    pass-through, so PQ top-k must EQUAL brute force exactly."""
+    df = _clustered_vecs(spark, n=60)
+    cbs = similarity.train_pq_codebooks(df, n_subspaces=4, n_centroids=16)
+    codes = similarity.pq_encode(df, cbs)
+    queries = df.limit(5)
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in similarity.brute_force_topk(df, queries, k=4).collect()
+    )
+    approx = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in similarity.pq_topk(codes, df, queries, cbs, k=4, rerank=60).collect()
+    )
+    assert exact == approx
+
+
+def test_pq_rejects_bad_dims_and_oversized_queries(spark, monkeypatch):
+    df = _clustered_vecs(spark, n=30, d=10)
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.train_pq_codebooks(df, n_subspaces=4)
+    df16 = _clustered_vecs(spark, n=30)
+    cbs = similarity.train_pq_codebooks(df16, n_subspaces=4, n_centroids=8)
+    codes = similarity.pq_encode(df16, cbs)
+    monkeypatch.setattr(similarity, "_QUERY_SET_CAP", 5)
+    with pytest.raises(ValueError, match="probe-set"):
+        similarity.pq_topk(codes, df16, df16, cbs, k=2)

@@ -978,3 +978,45 @@ def test_pq_rejects_bad_dims_and_oversized_queries(spark, monkeypatch):
     monkeypatch.setattr(similarity, "_QUERY_SET_CAP", 5)
     with pytest.raises(ValueError, match="probe-set"):
         similarity.pq_topk(codes, df16, df16, cbs, k=2)
+
+
+def test_bench_queries_all_registered():
+    """Contract guard: every bench query must exist in the registry (a
+    rename/fold that breaks bench.py should fail here, not in the
+    driver's per-round bench run)."""
+    import bench
+    from ocr_translate_spark.queries import ORACLE_SQL, QUERY_FNS
+
+    missing = [n for n in bench.BENCH_QUERIES if n not in QUERY_FNS]
+    assert not missing, missing
+    assert len(QUERY_FNS) <= 52  # driver evaluation-prefix budget
+    no_oracle = [n for n in QUERY_FNS if n not in ORACLE_SQL]
+    # only the inherently approximate ANN configs may lack oracles, and
+    # they must sit LAST so the driver prefix covers every oracled query
+    assert no_oracle == ["embedding_lsh_topk", "embedding_ivf_topk"]
+    assert list(QUERY_FNS)[-2:] == no_oracle
+
+
+def test_signature_plans_single_udf_evaluation(spark):
+    """Plan guard against the round-4 double-evaluation pathology: a
+    filter on a scalar pandas UDF's output column compiles to a SECOND
+    ArrowEvalPython node (measured 25x on minhash at 200k docs).  The
+    signature plans must contain exactly one."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "")], "id long, text string"
+    )
+    for fn in (
+        lambda: dedup.minhash_signatures(df, "id", "text", drop_empty=True),
+        lambda: dedup.simhash_signatures(df, "id", "text", drop_empty=True),
+    ):
+        plan = fn()._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1, plan[:500]
+    norm_plan = (
+        similarity.with_norm(
+            df.select("id", F.array(F.lit(1.0)).alias("embedding"))
+            .filter(similarity._nonzero_vec(F.col("embedding"))),
+            "embedding",
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert norm_plan.count("ArrowEvalPython") == 1, norm_plan[:500]

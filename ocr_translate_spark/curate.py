@@ -90,10 +90,15 @@ def curate_corpus(
     ``benchmark`` (optional) is the eval-suite DataFrame for stage 6; it
     needs a ``text`` column.  ``blocklist`` (optional, one ``host``
     column) and ``max_per_host`` (optional quota) switch on a stage-0
-    url filter over ``url_col`` (default: ``id_col`` — url-keyed
-    corpora key curation on the url itself): broadcast host-blocklist
-    anti-join + deterministic per-host cap, both BEFORE any payload
-    work, per the C4/RefinedWeb ordering.
+    url filter over ``url_col``, which MUST be passed explicitly when
+    either is set — defaulting to ``id_col`` silently produced empty
+    host keys on non-url ids, and an empty-host corpus under
+    ``max_per_host`` would truncate to the cap.  (The operators
+    themselves also exempt empty-host rows — see urls.host_caps /
+    urls.filter_blocklisted_hosts — so even a partially url-keyed
+    column is safe.)  Both filters run BEFORE any payload work, per the
+    C4/RefinedWeb ordering: broadcast host-blocklist anti-join +
+    deterministic per-host cap.
 
     The report's counts are computed with one action per stage boundary
     — acceptable for an audited batch run (each is a count over an
@@ -111,6 +116,12 @@ def curate_corpus(
     # 0. url filters — host blocklist + per-host quota, before any
     # payload-touching stage (both corpus-shuffle-free: broadcast anti
     # join + a host-keyed window)
+    if (blocklist is not None or max_per_host) and url_col is None:
+        raise ValueError(
+            "curate_corpus: blocklist/max_per_host need an explicit "
+            "url_col — a non-url id column would yield empty host keys "
+            "for every row (nothing to block, nothing to cap)"
+        )
     ucol = url_col or id_col
     if blocklist is not None:
         df = urls.filter_blocklisted_hosts(df, blocklist, url_col=ucol)

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +55,25 @@ def open_warehouse(spark: SparkSession, root: str):
     if iceberg_available(spark):
         return IcebergWarehouse(spark, root)
     return Warehouse(root)
+
+
+_TABLE_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_table_name(table: str) -> None:
+    """Reject table names that are not plain identifiers.
+
+    Table names are interpolated into catalog SQL (MERGE INTO, the
+    snapshot-log WHERE clauses) — the namespace is sanitized at
+    construction, but caller-supplied table names were not, so a quote
+    or dot in a name could break a statement.  Every public entry point
+    funnels through ``_full``, which calls this."""
+    if not _TABLE_NAME_RE.match(table):
+        raise ValueError(
+            f"invalid table name {table!r}: warehouse table names must "
+            "match [A-Za-z_][A-Za-z0-9_]* (they are interpolated into "
+            "catalog SQL as identifiers)"
+        )
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -125,6 +145,7 @@ class IcebergWarehouse:
         self._sql(f"CREATE NAMESPACE IF NOT EXISTS {ns}")
 
     def _full(self, table: str) -> str:
+        _check_table_name(table)
         return f"{self.namespace}.{table}"
 
     # -- engine seam -----------------------------------------------------
@@ -418,6 +439,7 @@ class Warehouse:
 
     def stage(self, df: DataFrame, table: str) -> str:
         """Write ``df`` as parquet into an uncommitted data directory."""
+        _check_table_name(table)  # table names become path components here
         commit_dir = os.path.join(self.root, table, f"commit-{uuid.uuid4().hex[:12]}")
         df.write.mode("errorifexists").parquet(commit_dir)
         return commit_dir

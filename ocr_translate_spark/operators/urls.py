@@ -16,21 +16,40 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# tracking parameters stripped during normalization (the industry-common
-# set: Google/Facebook/Mailchimp click identifiers)
+# tracking parameters stripped during normalization (the unambiguous
+# industry-common set: Google/Facebook/Mailchimp click identifiers).
+# Deliberately NOT in the list: ``ref`` — many sites use it functionally
+# (?ref=<branch> on code forges, referral routing), and since the
+# normalized url is the memoization/dedup key, stripping a functional
+# param would collapse distinct resources into one ledger entry.
+# Curators who want a more aggressive strip opt in via the
+# ``strip_params`` argument of :func:`normalize_url`.
 TRACKING_PARAMS = (
     "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
-    "gclid", "fbclid", "mc_cid", "mc_eid", "ref",
+    "gclid", "fbclid", "mc_cid", "mc_eid",
 )
 
 
+def _scheme_of(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+
+
 def host_of(url: Column) -> Column:
-    """The lowercased host, default port stripped (empty string when the
-    url has no ``scheme://host/`` shape)."""
+    """The lowercased host, scheme-default port stripped (empty string
+    when the url has no ``scheme://host/`` shape).
+
+    Only the port that IS the scheme's default is stripped — ``:80`` for
+    http, ``:443`` for https.  ``http://h:443/x`` names a different
+    resource than ``http://h/x`` and keeps its port."""
     host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
-    # strip credentials then the default-port suffix
+    # strip credentials then the scheme-matching default-port suffix
     host = F.regexp_replace(host, r"^[^@]*@", "")
-    return F.regexp_replace(host, r":(80|443)$", "")
+    scheme = _scheme_of(url)
+    return (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
 
 
 def registered_domain(url: Column) -> Column:
@@ -41,23 +60,26 @@ def registered_domain(url: Column) -> Column:
     return F.regexp_extract(host_of(url), r"([^.]+\.[^.]+)$", 1)
 
 
-def normalize_url(url: Column) -> Column:
+def normalize_url(
+    url: Column, strip_params: tuple[str, ...] = TRACKING_PARAMS
+) -> Column:
     """Canonical url for content addressing: lowercase scheme+host,
-    default port stripped, fragment dropped, tracking params removed,
+    scheme-default port stripped, fragment dropped, ``strip_params``
+    query keys removed (default: the unambiguous tracking set),
     remaining query keys sorted, trailing slash collapsed (except root).
 
     Pure column expressions (regexp + array ops) — runs at scan speed;
     the memoization ledger and dedup keys should always use this form."""
     # drop the fragment first
     u = F.regexp_replace(url, r"#.*$", "")
-    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    scheme = _scheme_of(u)
     rest_after_host = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
     # split the query, drop tracking params, sort the survivors
     pairs = F.filter(
         F.split(query, "&", -1),
         lambda p: (p != F.lit(""))
-        & ~F.regexp_extract(p, r"^([^=]*)", 1).isin(*TRACKING_PARAMS),
+        & ~F.regexp_extract(p, r"^([^=]*)", 1).isin(*strip_params),
     )
     sorted_q = F.array_join(F.array_sort(pairs), "&")
     path = F.when(rest_after_host == "", F.lit("/")).otherwise(
@@ -82,11 +104,20 @@ def filter_blocklisted_hosts(
     ``blocklist`` (a one-column ``host`` DataFrame — UT1/adult-list
     shaped).  The blocklist is broadcast (these lists are a few MB
     against a corpus of TB), so the corpus never shuffles: one narrow
-    host extraction + one broadcast LEFT ANTI join."""
+    host extraction + one broadcast LEFT ANTI join.
+
+    Rows whose extracted host is EMPTY (``url_col`` is not a
+    scheme://host url) are exempt — they pass through.  A blank or
+    malformed blocklist line must never silently drop every
+    non-url-keyed row, so empty entries are filtered from the build
+    side too."""
     key = registered_domain(F.col(url_col)) if by_registered_domain else host_of(
         F.col(url_col)
     )
-    bl = F.broadcast(blocklist.select(F.lower(F.col("host")).alias("_bl_host")))
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col("host")).alias("_bl_host"))
+        .filter(F.col("_bl_host") != "")
+    )
     return (
         df.withColumn("_host_key", key)
         .join(bl, F.col("_host_key") == F.col("_bl_host"), "left_anti")
@@ -99,12 +130,22 @@ def host_caps(
     url_col: str = "url",
     max_per_host: int = 100_000,
     seed: str = "v1",
+    rank_key: Column | None = None,
 ) -> DataFrame:
     """Per-host document quota (domain-cap sampling, the anti-SEO-farm
     guard every web corpus applies): keep at most ``max_per_host`` rows
     per host, chosen by a DETERMINISTIC salted-hash ranking so reruns
     and corpus growth keep stable samples (same contract as
-    curation.split_by_hash).
+    curation.split_by_hash).  ``rank_key`` overrides the default
+    xxhash64 ranking (e.g. a portable md5-derived key for cross-engine
+    verification).
+
+    Rows whose extracted host is EMPTY (``url_col`` is not a
+    scheme://host url) are EXEMPT from the cap: each such row gets its
+    own window partition (keyed by its full url value), so the quota
+    never collapses a non-url-keyed corpus to ``max_per_host`` rows —
+    and the empty-host mass never lands in one giant single-task
+    partition either.
 
     One window over the host key — the host distribution is exactly the
     skew host_stats surfaces, so at 100 TB this window wants the same
@@ -115,8 +156,10 @@ def host_caps(
     from pyspark.sql import Window
 
     host = host_of(F.col(url_col))
-    rank_key = F.xxhash64(F.concat(F.col(url_col), F.lit(seed)))
-    w = Window.partitionBy(host).orderBy(rank_key, F.col(url_col))
+    part_key = F.when(host == "", F.concat(F.lit("\x00"), F.col(url_col))).otherwise(host)
+    if rank_key is None:
+        rank_key = F.xxhash64(F.concat(F.col(url_col), F.lit(seed)))
+    w = Window.partitionBy(part_key).orderBy(rank_key, F.col(url_col))
     return (
         df.withColumn("_hc_rn", F.row_number().over(w))
         .filter(F.col("_hc_rn") <= max_per_host)

@@ -86,6 +86,7 @@ def test_curate_corpus_url_stage(spark):
     bl = spark.createDataFrame([("bad.example",)], "host string")
     out, rep = curate_corpus(
         df, min_words=10, scrub=False, blocklist=bl, max_per_host=5,
+        url_col="doc_id",
     )
     assert rep.n_input == 15
     assert rep.n_after_url_filter == 9  # 3 blocklisted dropped, farm capped at 5

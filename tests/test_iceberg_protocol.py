@@ -383,3 +383,18 @@ def test_stage_discard_leaves_no_catalog_entry(wh):
 def test_read_before_any_commit_returns_empty_or_raises(wh):
     with pytest.raises(ValueError):
         wh.read(None, "missing")
+
+
+def test_table_names_validated_as_identifiers():
+    """Caller-supplied table names are interpolated into catalog SQL and
+    (in the emulation) filesystem paths — non-identifier names must be
+    rejected at the public API boundary (advisor r4)."""
+    import pytest as _pytest
+
+    from ocr_translate_spark.io.tables import _check_table_name
+
+    for ok in ("extracted", "runs", "_snapshot_log", "t2", "A_B_c"):
+        _check_table_name(ok)
+    for bad in ("bad'name", "a.b", "a b", "", "a-b", "x;drop", "../x"):
+        with _pytest.raises(ValueError):
+            _check_table_name(bad)

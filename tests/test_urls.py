@@ -105,3 +105,67 @@ def test_normalize_url_idempotent(spark):
     ).collect()
     for r in twice:
         assert r["n1"] == r["n2"], (r["url"], r["n1"], r["n2"])
+
+
+def test_scheme_aware_default_port_strip(spark):
+    """Only the scheme's OWN default port is stripped — http://h:443 and
+    https://h:80 name non-default-port resources and keep their port
+    (advisor r4: the old unconditional :80|:443 strip collapsed them)."""
+    df = spark.createDataFrame(
+        [
+            ("http://h.test:80/x",), ("https://h.test:443/x",),
+            ("http://h.test:443/x",), ("https://h.test:80/x",),
+            ("ftp://h.test:80/x",),
+        ],
+        "url string",
+    )
+    hosts = [r["h"] for r in df.select(urls.host_of(F.col("url")).alias("h")).collect()]
+    assert hosts == ["h.test", "h.test", "h.test:443", "h.test:80", "h.test:80"]
+    norms = [
+        r["n"] for r in df.select(urls.normalize_url(F.col("url")).alias("n")).collect()
+    ]
+    assert norms[2] == "http://h.test:443/x"
+    assert norms[3] == "https://h.test:80/x"
+
+
+def test_ref_param_preserved_strip_list_opt_in(spark):
+    """'ref' is functional on many sites (?ref=<branch>) — the default
+    strip list keeps it; curators opt in via strip_params."""
+    assert _norm(spark, "https://h.test/repo?ref=main") == "https://h.test/repo?ref=main"
+    df = spark.createDataFrame([("https://h.test/repo?ref=main",)], "url string")
+    aggressive = df.select(
+        urls.normalize_url(
+            F.col("url"), strip_params=urls.TRACKING_PARAMS + ("ref",)
+        ).alias("n")
+    ).first()["n"]
+    assert aggressive == "https://h.test/repo"
+
+
+def test_empty_host_rows_exempt_from_caps_and_blocklist(spark):
+    """Non-url keys (numeric ids) yield empty hosts; the cap must not
+    collapse such a corpus to max_per_host rows, and a blank blocklist
+    entry must not drop every non-url row (advisor r4, medium)."""
+    rows = [(str(i),) for i in range(40)]  # no scheme://host shape
+    rows += [(f"https://farm.example/p{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "url string")
+    capped = urls.host_caps(df, max_per_host=5)
+    kept = [r["url"] for r in capped.collect()]
+    assert sum(1 for u in kept if u.startswith("https://")) == 5
+    assert sum(1 for u in kept if not u.startswith("https://")) == 40
+    bl = spark.createDataFrame([("",), ("farm.example",)], "host string")
+    surv = urls.filter_blocklisted_hosts(df, bl).collect()
+    assert len(surv) == 40 and all(not r["url"].startswith("https") for r in surv)
+
+
+def test_curate_requires_explicit_url_col(spark):
+    import pytest as _pytest
+
+    from ocr_translate_spark.curate import curate_corpus
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="url_col"):
+        curate_corpus(df, max_per_host=10)
+    with _pytest.raises(ValueError, match="url_col"):
+        curate_corpus(
+            df, blocklist=spark.createDataFrame([("h",)], "host string")
+        )

@@ -42,7 +42,7 @@ BENCH_QUERIES = (
     "decontaminate",
     "rarity_scores",
     "lang_id",
-    "token_counts",
+    "textstat_battery",
     "events_windowed",
     "sessionize",
 )

@@ -127,6 +127,57 @@ def repetition_stats(df, id_col: str, text_col: str):
     )
 
 
+def repetition_stats_narrow(text: Column) -> Column:
+    """Per-row ``struct(distinct_ratio, top_word_share)`` — the same two
+    Gopher repetition signals as :func:`repetition_stats`, computed
+    WITHOUT a shuffle: sort the doc's own words, then one run-length
+    scan via a single ``aggregate`` HOF (struct accumulator: previous
+    word, current run, max run, distinct count).  O(n log n) per doc
+    inside whole-stage codegen, zero exchanges — at 100 TB this is a
+    narrow map over the scan while the explode/groupBy form shuffles
+    every (doc, word) pair.  Empty docs get (0.0, 0.0).
+
+    The ratios are exact IEEE divisions of integer counts, so the
+    narrow and grouped forms agree bit-for-bit (asserted in
+    tests/test_operators.py).
+
+    Callers that already project a words array should use
+    :func:`repetition_from_words` on the REAL column instead — an inline
+    split expression referenced from several sub-expressions of one
+    projection is re-evaluated per reference (the r4 CollapseProject
+    lesson)."""
+    words = F.filter(F.split(F.lower(text), r"\s+", -1), lambda x: x != F.lit(""))
+    return repetition_from_words(words)
+
+
+def repetition_from_words(words: Column) -> Column:
+    """:func:`repetition_stats_narrow` over an already-tokenized words
+    array column (run-length scan on the sorted copy; see there)."""
+    n = F.size(words)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("maxrun"), F.lit(0).cast("long").alias("ndist"),
+    )
+
+    def step(acc, w):
+        same = acc["prev"] == w
+        newrun = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            w.alias("prev"), newrun.alias("run"),
+            F.greatest(acc["maxrun"], newrun).alias("maxrun"),
+            F.when(same, acc["ndist"]).otherwise(acc["ndist"] + 1).alias("ndist"),
+        )
+
+    scanned = F.aggregate(F.array_sort(words), init, step)
+    nd = n.cast("double")
+    return F.struct(
+        F.when(n > 0, scanned["ndist"].cast("double") / nd)
+        .otherwise(F.lit(0.0)).alias("distinct_ratio"),
+        F.when(n > 0, scanned["maxrun"].cast("double") / nd)
+        .otherwise(F.lit(0.0)).alias("top_word_share"),
+    )
+
+
 # Gopher quality-filter heuristics (Rae et al. 2021, "Scaling Language
 # Models: Methods, Analysis & Insights from Training Gopher", App. A1.1)
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

@@ -57,6 +57,37 @@ def test_lang_id_markers(spark):
     assert got == ["en", "de", "fr", "und"]
 
 
+def test_repetition_narrow_matches_grouped(spark, documents):
+    """The shuffle-free sorted-run-length form must agree bit-for-bit
+    with the explode/groupBy form on real corpus text (the battery query
+    and its DuckDB oracle rely on this parity)."""
+    grouped = {
+        r["doc_id"]: (r["distinct_ratio"], r["top_word_share"])
+        for r in textstats.repetition_stats(documents, "doc_id", "text").collect()
+    }
+    narrow_rows = documents.select(
+        "doc_id", textstats.repetition_stats_narrow(F.col("text")).alias("s")
+    ).select("doc_id", "s.distinct_ratio", "s.top_word_share").collect()
+    assert grouped  # corpus has non-empty docs
+    for r in narrow_rows:
+        if r["doc_id"] in grouped:
+            assert (r["distinct_ratio"], r["top_word_share"]) == grouped[r["doc_id"]]
+        else:  # empty doc: grouped form omits it, narrow yields zeros
+            assert (r["distinct_ratio"], r["top_word_share"]) == (0.0, 0.0)
+    # planted shapes: runs, singletons, empty
+    df = spark.createDataFrame(
+        [(1, "a b a c a"), (2, "x x x"), (3, ""), (4, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["s"]["distinct_ratio"], r["s"]["top_word_share"])
+        for r in df.select(
+            "doc_id", textstats.repetition_stats_narrow(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert got == {1: (0.6, 0.6), 2: (1 / 3, 1.0), 3: (0.0, 0.0), 4: (1.0, 1.0)}
+
+
 def test_quality_score_bounds(documents):
     rows = documents.select(
         textstats.quality_score(F.col("text")).alias("q")

@@ -1028,6 +1028,28 @@ def test_bench_queries_all_registered():
     assert list(QUERY_FNS)[-2:] == no_oracle
 
 
+def test_bench_window_gate_and_scaled_noise_factor(monkeypatch):
+    """r4 verdict #2: figures must not be recorded from a degraded
+    window without marking, and slow queries get the tighter noise
+    trigger (minhash's 2.8x artifact slipped under the flat 3.0)."""
+    import bench
+
+    assert bench._noise_factor(0.5) == bench.NOISE_FACTOR
+    assert bench._noise_factor(bench.SLOW_PRIOR_SEC + 0.1) == bench.NOISE_FACTOR_SLOW
+
+    probes = iter([{"parallel_32": 0.5, "burn_1": 1}, {"parallel_32": 0.6, "burn_1": 1},
+                   {"parallel_32": 0.9, "burn_1": 1}])
+    monkeypatch.setattr(bench, "window_quality", lambda: next(probes))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    w, waits, degraded = bench.await_clean_window()
+    assert w["parallel_32"] == 0.9 and waits == 2 and not degraded
+
+    bad = iter([{"parallel_32": 0.4, "burn_1": 1}] * (bench.MAX_WINDOW_WAITS + 1))
+    monkeypatch.setattr(bench, "window_quality", lambda: next(bad))
+    w, waits, degraded = bench.await_clean_window()
+    assert degraded and waits == bench.MAX_WINDOW_WAITS
+
+
 def test_signature_plans_single_udf_evaluation(spark):
     """Plan guard against the round-4 double-evaluation pathology: a
     filter on a scalar pandas UDF's output column compiles to a SECOND

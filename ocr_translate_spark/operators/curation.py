@@ -150,11 +150,6 @@ def drop_boilerplate_lines(
     long-lived sessions cycling many corpora should pass False or
     ``spark.catalog.clearCache()`` between corpora).
     """
-    # the corpus size anchors the fraction cutoff; pass n_docs when the
-    # caller already knows it (saves the count scan at warehouse scale)
-    if n_docs is None:
-        n_docs = df.count()
-    cutoff = max_line_frac * n_docs
     lines = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("idx", "line"),
@@ -165,9 +160,23 @@ def drop_boilerplate_lines(
         lines.dropDuplicates(["doc_id", "line"])
         .groupBy("line")
         .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") > cutoff)
-        .select("line", F.lit(True).alias("_hot"))
     )
+    # the corpus size anchors the fraction cutoff; pass n_docs when the
+    # caller already knows it.  With n_docs=None the count stays IN the
+    # plan (split() yields >= 1 line, so doc count == idx-0 line count —
+    # one narrow pass over the shared/persisted lines table broadcast as
+    # a 1-row stats join, the bm25 pattern) — no separate driver-side
+    # count action, which keeps curate_corpus's audited path single-pass.
+    if n_docs is None:
+        tot = lines.filter(F.col("idx") == 0).select(
+            F.count(F.lit(1)).cast("double").alias("_nd")
+        )
+        hot = hot.crossJoin(F.broadcast(tot)).filter(
+            F.col("_df") > F.lit(max_line_frac) * F.col("_nd")
+        )
+    else:
+        hot = hot.filter(F.col("_df") > max_line_frac * n_docs)
+    hot = hot.select("line", F.lit(True).alias("_hot"))
     flagged = lines.join(F.broadcast(hot), "line", "left")
     return flagged.groupBy("doc_id").agg(
         F.array_join(

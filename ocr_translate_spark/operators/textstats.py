@@ -190,6 +190,7 @@ def gopher_rules(
     id_col: str,
     text_col: str,
     *,
+    keep: "tuple[str, ...]" = (),
     min_words: int = 50,
     max_words: int = 100_000,
     min_mean_word_len: float = 3.0,
@@ -211,6 +212,12 @@ def gopher_rules(
     are exact IEEE divisions of integer counts and every regex is
     RE2-compatible, so the DuckDB oracle reproduces each metric
     bit-for-bit (same discipline as :func:`quality_score`).
+
+    ``keep``: pass original column names to carry them through INSTEAD
+    of the aliased ``doc_id`` — lets a caller filter on ``passes`` as a
+    linear narrow map (no join back to recover payload columns; the
+    curate_corpus quality gate uses this).  Metric names (``n_words``
+    etc.) must not collide with kept columns.
     """
     text = F.col(text_col)
     words = F.filter(F.split(text, r"\s+", -1), lambda x: x != F.lit(""))
@@ -245,8 +252,11 @@ def gopher_rules(
         stop_hits = stop_hits + F.array_contains(low, w).cast("int")
     stop_hits = stop_hits.cast("long")
 
+    head = (
+        [F.col(c) for c in keep] if keep else [F.col(id_col).alias("doc_id")]
+    )
     out = df.select(
-        F.col(id_col).alias("doc_id"),
+        *head,
         n_words.alias("n_words"),
         mean_word_len.alias("mean_word_len"),
         alpha_word_frac.alias("alpha_word_frac"),

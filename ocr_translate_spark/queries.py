@@ -215,6 +215,17 @@ def q_textstat_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stop_sig = F.least(F.lit(1.0), F.when(total > 0, stops / total).otherwise(F.lit(0.0)) * 10.0)
     rep = textstats.repetition_from_words(F.col("_words"))
+    # two representative columns of the r5 Gopher gram-repetition family
+    # (textstats.repetition_gram_stats; the full battery keeps goldens +
+    # the sf parity pytest) — _words/_lines are real columns, per the
+    # inline-array HOF rule
+    docs = docs.withColumn(
+        "_lines",
+        F.filter(F.split(F.col("text"), "\n", -1), lambda x: F.trim(x) != F.lit("")),
+    )
+    grams = textstats.repetition_gram_stats(
+        F.col("_words"), F.col("_lines"), top_ns=(2,), dup_ns=(5,)
+    )
     return docs.select(
         "doc_id",
         F.size("_words").cast("long").alias("ws_tokens"),
@@ -222,6 +233,8 @@ def q_textstat_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((len_ok + punct_pen + stop_sig) / 3.0).alias("quality"),
         rep["distinct_ratio"].alias("distinct_ratio"),
         rep["top_word_share"].alias("top_word_share"),
+        grams["top_2gram_char_frac"].alias("top_2gram_char_frac"),
+        grams["dup_5gram_char_frac"].alias("dup_5gram_char_frac"),
     )
 
 
@@ -1295,9 +1308,10 @@ ORACLE_SQL: dict[str, str] = {
           ELSE 'es' END AS lang_pred
         FROM c
     """,
-    # folded battery (r5): token counts + quality + repetition signals in
-    # one statement; the repetition rollup LEFT JOINs back so empty docs
-    # keep (0.0, 0.0) exactly like the narrow run-length form
+    # folded battery (r5): token counts + quality + repetition signals +
+    # two Gopher gram-repetition columns in one statement; rollups LEFT
+    # JOIN back so empty/short docs keep 0.0 exactly like the narrow
+    # run-length forms
     "textstat_battery": f"""
         WITH s AS (SELECT doc_id, text, {_WORDS} AS w FROM documents),
         wc AS (SELECT doc_id, word, count(*) AS cnt FROM (
@@ -1307,6 +1321,26 @@ ORACLE_SQL: dict[str, str] = {
                   CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS distinct_ratio,
                   CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_word_share
                 FROM wc GROUP BY doc_id),
+        tot AS (SELECT doc_id,
+                  CAST(len(array_to_string(w, '')) AS BIGINT) AS total_chars
+                FROM s),
+        g2 AS (SELECT doc_id, gram, count(*) AS cnt,
+                      CAST(length(gram) - 1 AS BIGINT) AS glen
+               FROM (SELECT doc_id, unnest(list_transform(
+                       range(0, greatest(len(w) - 2, 0) + CASE WHEN len(w) >= 2 THEN 1 ELSE 0 END),
+                       i -> array_to_string(w[i+1:i+2], ' '))) AS gram
+                     FROM s WHERE len(w) >= 2)
+               GROUP BY doc_id, gram),
+        top2 AS (SELECT doc_id, max(cnt * glen) AS top_mass FROM g2 GROUP BY doc_id),
+        g5 AS (SELECT doc_id, gram, count(*) AS cnt,
+                      CAST(length(gram) - 4 AS BIGINT) AS glen
+               FROM (SELECT doc_id, unnest(list_transform(
+                       range(0, greatest(len(w) - 5, 0) + CASE WHEN len(w) >= 5 THEN 1 ELSE 0 END),
+                       i -> array_to_string(w[i+1:i+5], ' '))) AS gram
+                     FROM s WHERE len(w) >= 5)
+               GROUP BY doc_id, gram),
+        dup5 AS (SELECT doc_id, sum((cnt - 1) * glen) AS dup_mass
+                 FROM g5 WHERE cnt > 1 GROUP BY doc_id),
         q AS (SELECT doc_id, text, w,
           CAST(length(text) AS DOUBLE) AS n,
           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct,
@@ -1323,8 +1357,18 @@ ORACLE_SQL: dict[str, str] = {
             least(1.0, (CASE WHEN toks > 0 THEN stops/toks ELSE 0.0 END)*10.0)
           ) / 3.0 AS quality,
           coalesce(rep.distinct_ratio, 0.0) AS distinct_ratio,
-          coalesce(rep.top_word_share, 0.0) AS top_word_share
-        FROM q LEFT JOIN rep ON q.doc_id = rep.doc_id
+          coalesce(rep.top_word_share, 0.0) AS top_word_share,
+          CASE WHEN tot.total_chars > 0
+               THEN coalesce(CAST(top2.top_mass AS DOUBLE) / CAST(tot.total_chars AS DOUBLE), 0.0)
+               ELSE 0.0 END AS top_2gram_char_frac,
+          CASE WHEN tot.total_chars > 0
+               THEN coalesce(CAST(dup5.dup_mass AS DOUBLE) / CAST(tot.total_chars AS DOUBLE), 0.0)
+               ELSE 0.0 END AS dup_5gram_char_frac
+        FROM q
+        LEFT JOIN rep ON q.doc_id = rep.doc_id
+        LEFT JOIN tot ON q.doc_id = tot.doc_id
+        LEFT JOIN top2 ON q.doc_id = top2.doc_id
+        LEFT JOIN dup5 ON q.doc_id = dup5.doc_id
     """,
     # closed-form certificate for the url stage: the oracle rebuilds each
     # synthesized url AND its canonical form directly from doc_id

@@ -50,13 +50,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.execution.arrow.maxBytesPerBatch",
                 str(64 * 1024 * 1024))
-        # output codec: zstd beats snappy on BOTH axes for the extracted
-        # table at the 1M-page probe (r5, scripts/write_codec_probe.py +
-        # alternating adjudication: best 25.5 s vs 28.3 s wall, 819 MB vs
-        # 1196 MB output — 32% fewer bytes through every downstream scan,
-        # which at 100 TB is the dominant I/O term).  Row-group size is
-        # neutral (zstd_32M ≈ zstd_128M), so the parquet default stands.
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        # output codec (r5 adjudication, docs/PLANS.md "Write-side codec
+        # probe"): zstd writes 32% fewer bytes — at 100 TB that is the
+        # dominant I/O term and the right cluster setting — but on THIS
+        # overcommitted sandbox the extra compression CPU inside the
+        # fused extract+write stage regressed the 100k-page bench 2-5x
+        # (systematic across reps in a clean window), while at 1M pages
+        # on tmpfs it measured wall-parity.  Default stays snappy so the
+        # per-round bench stays comparable; flip with one env var — on a
+        # real cluster with dedicated cores, prefer zstd.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         # shuffle/spill on tmpfs: this box's /tmp is a single disk, which

@@ -1073,3 +1073,57 @@ def test_signature_plans_single_udf_evaluation(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert norm_plan.count("ArrowEvalPython") == 1, norm_plan[:500]
+
+
+def test_textstat_battery_plan_is_exchange_free(spark):
+    """Plan guard: the folded battery must stay a single narrow pass —
+    zero exchanges, zero Python nodes (the whole point of the r5 fold
+    and the sorted-run-length repetition form)."""
+    from ocr_translate_spark.queries import q_textstat_battery
+
+    plan = (
+        q_textstat_battery(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 0, plan[:800]
+    assert plan.count("ArrowEvalPython") == 0 and plan.count("MapInPandas") == 0
+
+
+def test_repetition_gram_stats_goldens(spark):
+    """Gopher gram-repetition battery (r5): hand-computed goldens for
+    every metric family, plus the empty-doc zeros."""
+    rows = [
+        (1, "spam spam spam spam"),                # 3x overlapping 'spam spam'
+        (2, "one two three four five six seven"),  # no repeats
+        (3, "a b c d e f a b c d e f"),            # two dup 5-grams
+        (4, "line one\nline one\nunique line"),    # dup lines
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textstats.repetition_gram_stats_df(df, "doc_id", "text").collect()
+    }
+    # doc 1: total 16 word chars; 'spam spam' (8 chars) x3 -> 24/16
+    assert out[1]["top_2gram_char_frac"] == 24 / 16
+    assert out[1]["dup_5gram_char_frac"] == 0.0
+    # doc 2: all grams unique -> top mass is one gram's chars
+    assert out[2]["dup_5gram_char_frac"] == 0.0
+    assert 0.0 < out[2]["top_2gram_char_frac"] < 1.0
+    # doc 3: 12 chars total; dup 5-grams at offsets (0,6) and (1,7):
+    # 2 repeat occurrences x 5 chars -> 10/12
+    assert out[3]["dup_5gram_char_frac"] == 10 / 12
+    # doc 4: 3 lines, 'line one' repeated: 1/3 lines, 8/27 line chars
+    assert out[4]["dup_line_frac"] == 1 / 3
+    assert out[4]["dup_line_char_frac"] == 8 / 27
+    # empty doc: all zeros
+    assert all(
+        out[5][c] == 0.0
+        for c in out[5].asDict() if c != "doc_id"
+    )
+    # plan: narrow two-step projection, zero exchanges / Python nodes
+    plan = (
+        textstats.repetition_gram_stats_df(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 0 and plan.count("ArrowEvalPython") == 0

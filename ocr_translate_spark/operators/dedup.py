@@ -313,6 +313,137 @@ def minhash_signatures(
     return wh.select("id", minhash_from_base(base).alias("sig"))
 
 
+def _band_table(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) from a signature table.  The band table carries
+    those three columns ONLY — the 32-slot signature arrays must not ride
+    the banded join shuffle (bands x the payload per doc, then 2 sigs per
+    candidate row through the pair dedup); signatures are re-joined
+    exactly once, after the pair set is distinct."""
+    r = num_hashes // bands
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    # hash the r signature slots directly (typed longs, no
+                    # string casts); band index b is part of the hash input
+                    F.xxhash64(
+                        F.lit(b), *[F.col("sig")[b * r + i] for i in range(r)]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _score_pairs(pairs: DataFrame, sigs: DataFrame, num_hashes: int) -> DataFrame:
+    """Attach est_jaccard to a distinct (id_a, id_b) pair set by joining
+    the signature table twice (candidate-sized joins, never corpus-wide)."""
+    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    scored = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return scored.select(
+        "id_a", "id_b",
+        (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+    )
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> "tuple[DataFrame, DataFrame]":
+    """The persistent LSH index of a corpus: ``(sigs, bands)`` —
+    ``sigs`` is (id, sig array<long>) and ``bands`` is (id, band,
+    bucket).  Write BOTH to the warehouse next to the curated corpus;
+    each later crawl batch then dedups against the corpus via
+    :func:`incremental_minhash_candidates` WITHOUT re-signing a single
+    stored document.  At 10^12 docs the index is ~(num_hashes x 8 B +
+    bands x ~20 B) per doc — two slim tables that bucket-join, vs
+    re-scanning 100 TB of text per batch."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, drop_empty=True)
+    return sigs, _band_table(sigs, num_hashes, bands)
+
+
+def incremental_minhash_candidates(
+    new_df: DataFrame,
+    index_sigs: DataFrame,
+    index_bands: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    materialize: bool = True,
+) -> DataFrame:
+    """Continuous-ingestion near-dedup: candidate pairs (id_a, id_b,
+    est_jaccard) TOUCHING the new batch — new-vs-corpus plus
+    new-vs-new — against a stored :func:`minhash_index`, computing
+    signatures only for the new documents.
+
+    Equivalence contract (pinned by pytest): the result equals the
+    batch ``minhash_lsh_candidates(old UNION new)`` restricted to pairs
+    with at least one new endpoint (corpus-internal pairs were already
+    found when the corpus itself was ingested).  Ids must be globally
+    unique across corpus and batch — the same content-address
+    discipline the extraction ledger enforces.
+
+    Scale shape: the new batch's band table (tiny) joins the stored
+    band table on (band, bucket) — with the index bucketed/partitioned
+    by (band, bucket) at write time this is a co-located join that
+    never shuffles the stored corpus; signatures ride only the
+    candidate-sized re-joins.  The same ``n``/``num_hashes``/``bands``
+    as the index build MUST be used (hash inputs are positional)."""
+    assert num_hashes % bands == 0
+    new_sigs = minhash_signatures(
+        new_df, id_col, text_col, n, num_hashes, drop_empty=True
+    )
+    if materialize:
+        new_sigs = new_sigs.persist()
+    new_bands = _band_table(new_sigs, num_hashes, bands)
+
+    a = new_bands.alias("a")
+    # new-vs-corpus: every stored-bucket collision; normalize to a < b
+    c = index_bands.alias("c")
+    cross = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.id") != F.col("c.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("c.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("c.id")).alias("id_b"),
+        )
+    )
+    # new-vs-new: the ordinary banded self-join within the batch
+    b = new_bands.alias("b")
+    intra = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    pairs = cross.unionByName(intra).dropDuplicates(["id_a", "id_b"])
+    all_sigs = index_sigs.unionByName(new_sigs)
+    return _score_pairs(pairs, all_sigs, num_hashes)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -349,26 +480,7 @@ def minhash_lsh_candidates(
     if materialize:
         sigs = sigs.persist()
 
-    # band table carries (id, band, bucket) ONLY — the 32-slot signature
-    # arrays must not ride the banded self-join shuffle (bands× the payload
-    # per doc, then 2 sigs per candidate row through the pair dedup);
-    # signatures are re-joined exactly once, after the pair set is distinct
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    # hash the r signature slots directly (typed longs, no
-                    # string casts); band index b is part of the hash input
-                    F.xxhash64(
-                        F.lit(b), *[F.col("sig")[b * r + i] for i in range(r)]
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _band_table(sigs, num_hashes, bands)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -382,22 +494,9 @@ def minhash_lsh_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    scored = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
-    # interpreted HOF is fine here: it runs over candidate pairs only
-    # (<< corpus size by construction of the banding)
-    matches = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    )
-    return scored.select(
-        "id_a",
-        "id_b",
-        (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
-    )
+    # interpreted HOF in _score_pairs is fine: it runs over candidate
+    # pairs only (<< corpus size by construction of the banding)
+    return _score_pairs(pairs, sigs, num_hashes)
 
 
 def simhash_signatures(

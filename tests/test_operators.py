@@ -1127,3 +1127,47 @@ def test_repetition_gram_stats_goldens(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 0 and plan.count("ArrowEvalPython") == 0
+
+
+def test_incremental_minhash_equals_batch_restriction(spark, documents):
+    """Continuous-ingestion contract: incremental candidates (new batch
+    vs stored index + within-batch) must EQUAL the batch run over
+    old UNION new restricted to pairs touching a new doc — same pairs,
+    same est_jaccard values."""
+    docs = documents.limit(60).select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    # new batch: the held-out docs plus exact dups of two old docs
+    dup_src = old.orderBy("doc_id").limit(2).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    new = docs.filter(F.col("doc_id") % 3 == 0).union(dup_src)
+
+    sigs, bands = dedup.minhash_index(old, "doc_id", "text")
+    inc = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.incremental_minhash_candidates(
+            new, sigs, bands, "doc_id", "text"
+        ).collect()
+    }
+
+    new_ids = {r["doc_id"] for r in new.collect()}
+    batch = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_candidates(
+            old.union(new), "doc_id", "text"
+        ).collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert inc == batch and batch  # non-empty: the planted dups collide
+    # the planted exact dups are found against the STORED index
+    planted = {p for p in inc if p[1] >= 100_000}
+    assert len(planted) >= 2 and all(inc[p] == 1.0 for p in planted)
+
+
+def test_minhash_index_band_table_matches_inline(spark, documents):
+    """minhash_index's band table is the same (id, band, bucket) relation
+    the batch path computes inline (shared helper, pinned anyway)."""
+    docs = documents.limit(20).select("doc_id", "text")
+    sigs, bands = dedup.minhash_index(docs, "doc_id", "text")
+    assert set(bands.columns) == {"id", "band", "bucket"}
+    assert bands.count() == sigs.count() * 8  # default 8 bands per doc

@@ -254,3 +254,205 @@ def curate_corpus(
     report.n_output = int(final_obs.get["n"])
     report.n_val = int(final_obs.get["n_val"] or 0)
     return out, report
+
+
+# ---------------------------------------------------------------------
+# continuous ingestion: curate each crawl batch against the warehouse
+# ---------------------------------------------------------------------
+
+@dataclass
+class IncrementalReport:
+    """Per-batch ingestion audit: counts at each boundary plus what the
+    stored corpus rejected."""
+
+    n_batch: int = 0
+    n_new: int = 0                      # after dropping already-ingested ids
+    n_after_quality: int = 0
+    n_after_line_dedup: int = 0
+    n_after_exact_dedup: int = 0        # within batch + vs stored keys
+    n_dropped_vs_corpus_exact: int = 0
+    n_after_near_dedup: int = 0         # vs stored LSH index + within batch
+    n_after_decontamination: int = 0
+    n_appended: int = 0
+    snapshot_id: int = -1
+    stages: list[str] = field(default_factory=list)
+
+    def as_dict(self) -> dict:
+        return {k: getattr(self, k) for k in (
+            "n_batch", "n_new", "n_after_quality", "n_after_line_dedup",
+            "n_after_exact_dedup", "n_dropped_vs_corpus_exact",
+            "n_after_near_dedup", "n_after_decontamination", "n_appended",
+            "snapshot_id",
+        )} | {"stages": list(self.stages)}
+
+
+CURATED_TABLE = "curated"
+KEYS_TABLE = "curated_keys"        # (id, content_md5) — exact-dup index
+SIGS_TABLE = "dedup_sigs"          # (id, sig array<long>) — MinHash index
+BANDS_TABLE = "dedup_bands"        # (id, band, bucket) — LSH band index
+
+
+def curate_incremental(
+    spark,
+    warehouse_root: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    benchmark: DataFrame | None = None,
+    near_threshold: float = 0.8,
+    min_words: int = 20,
+    max_line_frac: float = 0.3,
+    val_fraction: float = 0.1,
+    scrub: bool = True,
+    gopher_kwargs: dict | None = None,
+) -> "tuple[DataFrame, IncrementalReport]":
+    """Curate ONE crawl batch against the warehouse-resident corpus and
+    append the survivors atomically — the continuous-ingestion form of
+    :func:`curate_corpus` (ref parity: the extraction ledger's
+    memoization discipline, pipeline.py:40-76, applied to curation).
+
+    Stored state (all slim, payload-free except ``curated``):
+
+    * ``curated``       — (id, text, split): the corpus itself;
+    * ``curated_keys``  — (id, content_md5): exact-dup + idempotence index;
+    * ``dedup_sigs`` / ``dedup_bands`` — the :func:`dedup.minhash_index`
+      tables; each batch joins its own bands against the stored bands
+      (dedup.incremental_minhash_candidates) — the 100 TB corpus text is
+      NEVER re-scanned, only its ~300 B/doc index.
+
+    Batch flow: drop already-ingested ids (re-running a batch is a
+    no-op — crash-resume idempotence); Gopher gate; per-batch line dedup
+    (line frequencies are per-batch by design — corpus-global boilerplate
+    drift belongs to a periodic re-curation, not the hot ingest path);
+    optional PII scrub; exact dedup within batch then against stored
+    md5 keys (corpus wins); near dedup against the stored index then
+    within the batch (corpus wins, then smallest id); optional
+    decontamination; salted split.  Survivors + their keys + index rows
+    publish in ONE atomic multi-table commit, so a crash leaves either
+    the whole batch ingested or none of it — and the index can never
+    disagree with the corpus.
+    """
+    from .io.tables import open_warehouse
+    from .operators import dedup as dd
+
+    rep = IncrementalReport()
+    wh = open_warehouse(spark, warehouse_root)
+    id_dt = batch.schema[id_col].dataType.simpleString()
+
+    keys = wh.read(spark, KEYS_TABLE, schema=f"id {id_dt}, content_md5 string")
+    sigs = wh.read(spark, SIGS_TABLE, schema=f"id {id_dt}, sig array<bigint>")
+    bands = wh.read(spark, BANDS_TABLE, schema=f"id {id_dt}, band int, bucket bigint")
+
+    rep.n_batch = batch.count()
+    # idempotent re-ingestion: ids the ledger already holds are done
+    new = batch.join(
+        keys.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    rep.n_new = new.count()
+    rep.stages.append("ledger_anti_join")
+
+    gk = dict(gopher_kwargs or {})
+    gk.setdefault("min_words", min_words)
+    cur = (
+        textstats.gopher_rules(new, id_col, text_col, keep=(id_col, text_col), **gk)
+        .filter("passes")
+        .select(id_col, text_col)
+    )
+    rep.n_after_quality = cur.count()
+    rep.stages.append("gopher_rules")
+
+    rebuilt = curation.drop_boilerplate_lines(
+        cur, id_col, text_col, max_line_frac=max_line_frac,
+    ).select(F.col("doc_id").alias(id_col), F.col("clean_text").alias(text_col))
+    words = F.filter(F.split(F.col(text_col), r"\s+", -1), lambda x: x != F.lit(""))
+    cur = rebuilt.filter(F.size(words) >= min_words)
+    rep.n_after_line_dedup = cur.count()
+    rep.stages.append("line_dedup")
+
+    if scrub:
+        cur = cur.withColumn(text_col, curation.scrub_pii(F.col(text_col)))
+        rep.stages.append("pii_scrub")
+
+    # exact dedup: within batch, then against the stored md5 keys
+    cur = dedup.dedup_exact(cur, id_col, text_col)
+    n_batch_exact = cur.count()
+    cur = cur.withColumn("_md5", F.md5(F.col(text_col))).join(
+        keys.select(F.col("content_md5").alias("_md5")).distinct(),
+        "_md5", "left_anti",
+    ).drop("_md5")
+    rep.n_after_exact_dedup = cur.count()
+    rep.n_dropped_vs_corpus_exact = n_batch_exact - rep.n_after_exact_dedup
+    rep.stages.append("dedup_exact")
+    cur = cur.persist()
+
+    # near dedup: stored index first (corpus wins), then within batch
+    new_ids = cur.select(F.col(id_col).alias("_nid"))
+    cands = dd.incremental_minhash_candidates(
+        cur.select(id_col, text_col), sigs, bands, id_col, text_col
+    ).filter(F.col("est_jaccard") >= near_threshold).persist()
+    # every NEW endpoint of a pair loses unless the pair is new-new, in
+    # which case the smaller id survives: a new id_a drops only when the
+    # other side is a STORED doc; a new id_b always drops (stored docs
+    # never appear as id_b of a new-new pair, and in a new-new pair the
+    # greater id loses by the batch keeper policy)
+    lose_a = (
+        cands.join(new_ids, cands["id_a"] == new_ids["_nid"], "left_semi")
+        .join(
+            cur.select(F.col(id_col).alias("_nb")),
+            cands["id_b"] == F.col("_nb"), "left_anti",
+        )
+        .select(F.col("id_a").alias(id_col))
+    )
+    lose_b = (
+        cands.join(
+            cur.select(F.col(id_col).alias("_nb2")),
+            cands["id_b"] == F.col("_nb2"), "left_semi",
+        )
+        .select(F.col("id_b").alias(id_col))
+    )
+    drops = lose_a.unionByName(lose_b).distinct()
+    cur = cur.join(drops, id_col, "left_anti")
+    rep.n_after_near_dedup = cur.count()
+    rep.stages.append("minhash_lsh_incremental")
+
+    if benchmark is not None:
+        flags = dedup.decontaminate(cur, benchmark, id_col, text_col)
+        clean_ids = flags.filter(~F.col("contaminated")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        cur = cur.join(clean_ids, id_col, "left_semi")
+        rep.stages.append("decontaminate")
+    rep.n_after_decontamination = cur.count()
+
+    out = curation.split_by_hash(
+        cur.select(id_col, text_col), id_col, val_fraction=val_fraction
+    ).persist()
+    rep.n_appended = out.count()
+    rep.stages.append("train_val_split")
+
+    if rep.n_appended == 0:
+        # fully-rejected (or fully-memoized) batch: nothing to publish —
+        # don't burn a snapshot on four empty appends
+        rep.snapshot_id = wh.current_snapshot_id()
+        rep.stages.append("noop_commit")
+        return out, rep
+
+    # derive the index rows for the survivors and publish EVERYTHING in
+    # one atomic commit (corpus, keys, sigs, bands can never diverge)
+    new_keys = out.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_md5")
+    )
+    surv_sigs, surv_bands = dd.minhash_index(
+        out.select(id_col, text_col), id_col, text_col
+    )
+    surv_sigs = surv_sigs.persist()
+    staged = {
+        CURATED_TABLE: [wh.stage(out, CURATED_TABLE)],
+        KEYS_TABLE: [wh.stage(new_keys, KEYS_TABLE)],
+        SIGS_TABLE: [wh.stage(surv_sigs, SIGS_TABLE)],
+        BANDS_TABLE: [wh.stage(surv_bands, BANDS_TABLE)],
+    }
+    rep.snapshot_id = wh.commit(staged)
+    rep.stages.append("atomic_commit")
+    return out, rep

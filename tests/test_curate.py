@@ -123,3 +123,53 @@ def test_curate_corpus_single_pass(spark):
     curate_corpus(docs, min_words=10, scrub=False)
     after = store.executionsCount()
     assert after - before == 1, (before, after)
+
+
+def test_curate_incremental_two_batches(spark, tmp_path):
+    """Continuous ingestion: batch 1 seeds the warehouse; batch 2's
+    exact dup of a stored doc dies on the md5 key index, its near dup of
+    a stored doc dies on the LSH index (corpus wins), fresh docs append;
+    re-running batch 2 is a no-op (ledger idempotence); all four tables
+    stay consistent in one snapshot."""
+    from ocr_translate_spark.curate import (
+        BANDS_TABLE, CURATED_TABLE, KEYS_TABLE, SIGS_TABLE, curate_incremental,
+    )
+    from ocr_translate_spark.io.tables import open_warehouse
+
+    wh_root = str(tmp_path / "wh")
+    b1 = spark.createDataFrame(
+        [(i, _sentence(i)) for i in range(10)], "doc_id long, text string"
+    )
+    out1, rep1 = curate_incremental(spark, wh_root, b1, min_words=10, scrub=False)
+    assert rep1.n_batch == rep1.n_appended == 10
+    assert rep1.snapshot_id >= 1
+
+    wh = open_warehouse(spark, wh_root)
+    assert wh.read(spark, CURATED_TABLE).count() == 10
+    assert wh.read(spark, KEYS_TABLE).count() == 10
+    assert wh.read(spark, SIGS_TABLE).count() == 10
+    assert wh.read(spark, BANDS_TABLE).count() == 80  # 8 bands/doc
+
+    # batch 2: 3 fresh docs + exact dup of stored 3 + near dup of stored 7
+    near = _sentence(7) + " extraword"
+    b2_rows = [(100 + i, _sentence(50 + i)) for i in range(3)]
+    b2_rows.append((200, _sentence(3)))   # exact dup of stored doc 3
+    b2_rows.append((201, near))           # near dup of stored doc 7
+    b2 = spark.createDataFrame(b2_rows, "doc_id long, text string")
+    out2, rep2 = curate_incremental(spark, wh_root, b2, min_words=10, scrub=False)
+    assert rep2.n_batch == rep2.n_new == 5
+    assert rep2.n_dropped_vs_corpus_exact == 1          # id 200
+    assert rep2.n_after_near_dedup == rep2.n_after_exact_dedup - 1  # id 201
+    assert rep2.n_appended == 3
+    appended = {r["doc_id"] for r in out2.collect()}
+    assert appended == {100, 101, 102}
+    assert wh.read(spark, CURATED_TABLE).count() == 13
+    assert wh.read(spark, SIGS_TABLE).count() == 13
+
+    # idempotent re-run: everything already ledgered or rejected
+    out3, rep3 = curate_incremental(spark, wh_root, b2, min_words=10, scrub=False)
+    assert rep3.n_new == 2            # 200/201 have no keys (rejected), retry
+    assert rep3.n_appended == 0       # ...and are rejected again
+    assert rep3.stages[-1] == "noop_commit"
+    assert wh.read(spark, CURATED_TABLE).count() == 13
+    assert rep3.snapshot_id == rep2.snapshot_id

@@ -1,0 +1,73 @@
+"""Streaming curation: continuous-crawl ingestion as a file stream.
+
+``readStream`` over a documents source -> per-micro-batch
+``curate.curate_incremental`` via ``foreachBatch`` — each batch dedups
+against the warehouse-resident corpus (md5 keys + MinHash LSH index)
+and appends its survivors in one atomic multi-table commit.  State
+lives in the committed tables, not in streaming state stores, so the
+stream survives checkpoint loss, restarts idempotently (the ledger
+anti-join skips already-ingested ids), and interleaves with batch
+`curate_incremental` calls — SERIALIZED, single writer per warehouse
+root, same contract as the extraction stream (extract_stream.py).
+
+This is the curation mirror of run_extraction_stream: extraction turns
+raw pages into text continuously; this turns extracted text into a
+deduplicated, quality-gated training corpus continuously.  The two
+compose into crawl -> extract -> curate with every stage resumable
+from its warehouse snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..curate import curate_incremental
+
+
+def run_curation_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    warehouse_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+    checkpoint_dir: str | None = None,
+    **curate_kwargs,
+) -> list[dict]:
+    """Drive curation as a file stream (one micro-batch per source file
+    by default), committing one warehouse snapshot per batch with
+    survivors.  ``curate_kwargs`` pass through to curate_incremental
+    (min_words, near_threshold, gopher_kwargs, benchmark, ...).
+
+    Returns the per-batch report dicts (with ``batch_id``); a replayed
+    batch reports ``n_appended == 0`` and burns no snapshot.
+    Synchronous (processAllAvailable) — long-running services keep the
+    query running instead."""
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    reports: list[dict] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        _, rep = curate_incremental(
+            spark, warehouse_root, batch_df.select(id_col, text_col),
+            id_col=id_col, text_col=text_col, **curate_kwargs,
+        )
+        d = rep.as_dict()
+        d["batch_id"] = batch_id
+        reports.append(d)
+
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    query = writer.start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return reports

@@ -120,3 +120,52 @@ def test_streaming_extraction_matches_batch_and_is_idempotent(spark, tmp_path):
     stats2 = run_extraction_stream(spark, pages_dir, wh, repartition=2)
     assert sum(s["n_written"] for s in stats2) == 0
     assert read_extracted(spark, wh).count() == 48
+
+
+def test_streaming_curation_matches_batch_and_is_idempotent(spark, tmp_path):
+    """Continuous curation: chunked docs replay through foreachBatch into
+    the warehouse; the final corpus equals the single-shot curate_corpus
+    survivor set on the same input (modulo cross-batch keeper identity:
+    with unique ids and planted dups the sets match here), and replaying
+    the stream appends nothing."""
+    from pyspark.sql import functions as F
+
+    from ocr_translate_spark.curate import CURATED_TABLE, curate_corpus
+    from ocr_translate_spark.io.tables import open_warehouse
+    from ocr_translate_spark.streaming.curate_stream import run_curation_stream
+
+    def sentence(i, n=30):
+        words = []
+        for j in range(n):
+            words.append(["the", "quick", "brown", "fox", "jumps", "over",
+                          "and", "lazy", "dog", f"topic{i}w{j}"][j % 10])
+        return " ".join(words)
+
+    rows = [(i, sentence(i)) for i in range(24)]
+    rows.append((100, sentence(3)))   # exact dup (may land cross-batch)
+    rows.append((101, sentence(7) + " extraword"))  # near dup of 7
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs_dir = str(tmp_path / "docs")
+    # order by id so dups land in LATER micro-batches than their sources
+    docs.orderBy("doc_id").coalesce(1).write.parquet(str(tmp_path / "one"))
+    spark.read.parquet(str(tmp_path / "one")).repartitionByRange(3, "doc_id").write.parquet(docs_dir)
+
+    wh_root = str(tmp_path / "wh")
+    reports = run_curation_stream(
+        spark, docs_dir, wh_root, min_words=10, scrub=False,
+    )
+    assert sum(r["n_appended"] for r in reports) == 24
+    wh = open_warehouse(spark, wh_root)
+    streamed = {r["doc_id"] for r in wh.read(spark, CURATED_TABLE).collect()}
+
+    batch_out, _ = curate_corpus(docs, min_words=10, scrub=False)
+    batch_ids = {r["doc_id"] for r in batch_out.collect()}
+    assert streamed == batch_ids  # dups 100/101 rejected in both paths
+
+    # full replay: ledger + rejection idempotence, no new snapshots
+    snap_before = wh.current_snapshot_id()
+    reports2 = run_curation_stream(
+        spark, docs_dir, wh_root, min_words=10, scrub=False,
+    )
+    assert sum(r["n_appended"] for r in reports2) == 0
+    assert wh.current_snapshot_id() == snap_before

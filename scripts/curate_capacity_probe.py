@@ -49,6 +49,11 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--copies", type=int, default=40)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--incremental", action="store_true",
+                    help="also run curate_incremental as two parity-split "
+                         "batches (every planted dup pair straddles the "
+                         "boundary) and assert count-convergence with the "
+                         "single-shot run")
     args = ap.parse_args()
 
     spark = get_spark("curate-capacity-probe", cpus=args.cpus)
@@ -181,6 +186,51 @@ def main() -> int:
     assert out.join(eval_src.select("id"), "id", "left_semi").count() == 0
     assert out.filter(F.pmod(F.col("id"), F.lit(JUNK_MOD)) == 0).count() == 0
 
+    inc_result = None
+    if args.incremental:
+        # parity split: planted pairs are (id-1, id), so EVERY pair
+        # straddles the batch boundary — cross-batch dedup is exercised
+        # for each of them; counts must converge to the single-shot run
+        # (keeper identities may differ, survivor COUNT may not)
+        import tempfile
+        import time as _t
+
+        from ocr_translate_spark.curate import CURATED_TABLE, curate_incremental
+        from ocr_translate_spark.io.tables import open_warehouse
+
+        wh_root = tempfile.mkdtemp(prefix="inc_probe_", dir="/dev/shm")
+        kw = dict(near_threshold=1.0, min_words=40, max_line_frac=0.3,
+                  val_fraction=0.1, scrub=False, gopher_kwargs=GOPHER_KW,
+                  benchmark=evalset)
+        t0 = _t.monotonic()
+        _, ra = curate_incremental(
+            spark, wh_root, framed.filter(F.col("id") % 2 == 0).select("id", "text"),
+            id_col="id", text_col="text", **kw)
+        _, rb = curate_incremental(
+            spark, wh_root, framed.filter(F.col("id") % 2 == 1).select("id", "text"),
+            id_col="id", text_col="text", **kw)
+        inc_wall = _t.monotonic() - t0
+        wh = open_warehouse(spark, wh_root)
+        n_final = wh.read(spark, CURATED_TABLE).count()
+        # replay batch B: ledger + rejection idempotence at scale
+        _, rr = curate_incremental(
+            spark, wh_root, framed.filter(F.col("id") % 2 == 1).select("id", "text"),
+            id_col="id", text_col="text", **kw)
+        assert rr.n_appended == 0, rr.as_dict()
+        # convergence: same survivor count as the single-shot composition
+        # (near dedup at est==1.0 can differ by at most the non-planted
+        # est1 collisions whose endpoints were split across batches and
+        # each survived its own batch — bounded by the same measurement)
+        assert abs(n_final - r["n_output"]) <= n_est1_nonplanted, (
+            n_final, r["n_output"], n_est1_nonplanted)
+        import shutil as _sh
+        _sh.rmtree(wh_root, ignore_errors=True)
+        inc_result = {
+            "batch_a": ra.as_dict(), "batch_b": rb.as_dict(),
+            "n_final": n_final, "single_shot_n_output": r["n_output"],
+            "wall_sec": round(inc_wall, 2),
+        }
+
     print(json.dumps({
         "probe": "curate_capacity",
         "n_docs": n_docs,
@@ -194,6 +244,7 @@ def main() -> int:
         },
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(n_docs / wall, 1),
+        "incremental": inc_result,
     }))
     return 0
 

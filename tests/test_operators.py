@@ -1171,3 +1171,21 @@ def test_minhash_index_band_table_matches_inline(spark, documents):
     sigs, bands = dedup.minhash_index(docs, "doc_id", "text")
     assert set(bands.columns) == {"id", "band", "bucket"}
     assert bands.count() == sigs.count() * 8  # default 8 bands per doc
+
+
+def test_gopher_repetition_rules_verdict(spark):
+    """Paper-threshold verdict over the gram battery: a heavily repeated
+    page fails, natural text passes, a custom ceiling flips a doc."""
+    spammy = "buy now " * 50
+    # genuinely varied: every word unique -> no repeated grams or lines
+    natural = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, spammy), (2, natural)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in
+           textstats.gopher_repetition_rules(df, "doc_id", "text").collect()}
+    assert not got[1]["passes"] and got[2]["passes"]
+    strict = textstats.gopher_repetition_rules(
+        df, "doc_id", "text", thresholds={"top_2gram_char_frac": 0.0}
+    )
+    assert not any(r["passes"] for r in strict.collect())

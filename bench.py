@@ -43,6 +43,7 @@ BENCH_QUERIES = (
     "rarity_scores",
     "lang_id",
     "textstat_battery",
+    "url_normalize",
     "events_windowed",
     "sessionize",
 )

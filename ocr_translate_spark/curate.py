@@ -456,3 +456,22 @@ def curate_incremental(
     rep.snapshot_id = wh.commit(staged)
     rep.stages.append("atomic_commit")
     return out, rep
+
+
+def read_curated(
+    spark,
+    warehouse_root: str,
+    snapshot_id: "int | None" = None,
+    split: "str | None" = None,
+) -> DataFrame:
+    """Committed curated corpus (id, text, split), optionally
+    time-traveled to ``snapshot_id`` and filtered to one ``split``
+    ('train'/'val') — the read-side mirror of pipeline.read_extracted
+    for the curation tables."""
+    from .io.tables import open_warehouse
+
+    wh = open_warehouse(spark, warehouse_root)
+    df = wh.read(spark, CURATED_TABLE, snapshot_id=snapshot_id)
+    if split is not None:
+        df = df.filter(F.col("split") == split)
+    return df

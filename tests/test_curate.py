@@ -173,3 +173,25 @@ def test_curate_incremental_two_batches(spark, tmp_path):
     assert rep3.stages[-1] == "noop_commit"
     assert wh.read(spark, CURATED_TABLE).count() == 13
     assert rep3.snapshot_id == rep2.snapshot_id
+
+
+def test_read_curated_time_travel_and_split(spark, tmp_path):
+    from ocr_translate_spark.curate import curate_incremental, read_curated
+
+    wh_root = str(tmp_path / "wh")
+    b1 = spark.createDataFrame(
+        [(i, _sentence(i)) for i in range(8)], "doc_id long, text string"
+    )
+    _, r1 = curate_incremental(spark, wh_root, b1, min_words=10, scrub=False)
+    b2 = spark.createDataFrame(
+        [(100 + i, _sentence(40 + i)) for i in range(4)], "doc_id long, text string"
+    )
+    _, r2 = curate_incremental(spark, wh_root, b2, min_words=10, scrub=False)
+
+    assert read_curated(spark, wh_root).count() == 12
+    # time travel to the first snapshot sees only batch 1
+    assert read_curated(spark, wh_root, snapshot_id=r1.snapshot_id).count() == 8
+    train = read_curated(spark, wh_root, split="train")
+    val = read_curated(spark, wh_root, split="val")
+    assert train.count() + val.count() == 12
+    assert set(train.columns) == {"doc_id", "text", "split"}

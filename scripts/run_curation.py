@@ -1,0 +1,73 @@
+"""spark-submit entry point for warehouse-backed incremental curation.
+
+Packaging (same discipline as run_pipeline.py)::
+
+    cd /root/repo && zip -r /tmp/otspark.zip ocr_translate_spark
+    spark-submit --py-files /tmp/otspark.zip scripts/run_curation.py \
+        --docs <documents parquet path or table:<name>> \
+        --warehouse /path/to/warehouse [--stream] [--min-words 20]
+
+``--docs`` usually points at the extraction warehouse's read-back
+(crawl -> extract -> curate); each invocation is one ingestion batch —
+idempotent, atomically committed, deduped against the stored corpus
+(curate.curate_incremental).  ``--stream`` instead treats the path as a
+file stream and ingests one micro-batch per source file
+(streaming.curate_stream).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True,
+                    help="documents parquet path or table:<catalog name>")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--min-words", type=int, default=20)
+    ap.add_argument("--near-threshold", type=float, default=0.8)
+    ap.add_argument("--no-scrub", action="store_true")
+    ap.add_argument("--stream", action="store_true",
+                    help="file-stream mode: one micro-batch per source file")
+    ap.add_argument("--cpus", type=int, default=0)
+    args = ap.parse_args()
+
+    from ocr_translate_spark.session import get_spark
+
+    spark = get_spark("curate-pipeline", cpus=args.cpus or None)
+    kw = dict(
+        id_col=args.id_col, text_col=args.text_col,
+        min_words=args.min_words, near_threshold=args.near_threshold,
+        scrub=not args.no_scrub,
+    )
+    t0 = time.monotonic()
+    if args.stream:
+        from ocr_translate_spark.streaming.curate_stream import run_curation_stream
+
+        reports = run_curation_stream(spark, args.docs, args.warehouse, **kw)
+        out = {
+            "mode": "stream", "batches": reports,
+            "n_appended": sum(r["n_appended"] for r in reports),
+        }
+    else:
+        from ocr_translate_spark.curate import curate_incremental
+
+        if args.docs.startswith("table:"):
+            docs = spark.table(args.docs.split(":", 1)[1])
+        else:
+            docs = spark.read.parquet(args.docs)
+        _, rep = curate_incremental(spark, args.warehouse, docs, **kw)
+        out = {"mode": "batch"} | rep.as_dict()
+    out["wall_sec"] = round(time.monotonic() - t0, 3)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

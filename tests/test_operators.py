@@ -1189,3 +1189,36 @@ def test_gopher_repetition_rules_verdict(spark):
         df, "doc_id", "text", thresholds={"top_2gram_char_frac": 0.0}
     )
     assert not any(r["passes"] for r in strict.collect())
+
+
+def test_incremental_candidates_plan_shape(spark):
+    """Plan guard for the ingestion path: with the default persist, the
+    new batch's signature UDF lives in ONE cached relation — every
+    branch reads the InMemoryRelation, no per-branch re-evaluation, and
+    the stored corpus side never hits Python.  (materialize=False
+    re-inlines the UDF into all 4 consuming branches — measured here —
+    which is exactly why persist is the default.)"""
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "id long, text string"
+    )
+    sigs = spark.createDataFrame([], "id long, sig array<bigint>")
+    bands = spark.createDataFrame([], "id long, band int, bucket bigint")
+    out = dedup.incremental_minhash_candidates(new, sigs, bands, "id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    try:
+        # every ArrowEvalPython printed sits INSIDE an InMemoryTableScan's
+        # cached-plan dump (computed once at runtime, read by all
+        # branches); an un-cached Arrow node would make arrow > scans
+        scans = plan.count("InMemoryTableScan")
+        n_arrow = plan.count("ArrowEvalPython")
+        assert scans >= 2 and n_arrow <= scans, (n_arrow, scans, plan[:800])
+        spark.catalog.clearCache()
+        unpersisted = dedup.incremental_minhash_candidates(
+            new, sigs, bands, "id", "text", materialize=False
+        )._jdf.queryExecution().executedPlan().toString()
+        # without the persist the SAME count of Arrow nodes is LIVE
+        # (no cache shields them) — which is why persist is the default
+        assert unpersisted.count("InMemoryTableScan") == 0
+        assert unpersisted.count("ArrowEvalPython") >= 2
+    finally:
+        spark.catalog.clearCache()

@@ -290,6 +290,7 @@ CURATED_TABLE = "curated"
 KEYS_TABLE = "curated_keys"        # (id, content_md5) — exact-dup index
 SIGS_TABLE = "dedup_sigs"          # (id, sig array<long>) — MinHash index
 BANDS_TABLE = "dedup_bands"        # (id, band, bucket) — LSH band index
+HOSTS_TABLE = "host_counts"        # (host, n) — log-structured quota ledger
 
 
 def curate_incremental(
@@ -300,6 +301,9 @@ def curate_incremental(
     text_col: str = "text",
     *,
     benchmark: DataFrame | None = None,
+    blocklist: DataFrame | None = None,
+    max_per_host: int | None = None,
+    url_col: str | None = None,
     near_threshold: float = 0.8,
     min_words: int = 20,
     max_line_frac: float = 0.3,
@@ -332,6 +336,15 @@ def curate_incremental(
     publish in ONE atomic multi-table commit, so a crash leaves either
     the whole batch ingested or none of it — and the index can never
     disagree with the corpus.
+
+    Host quotas are CROSS-BATCH: with ``max_per_host`` (explicit
+    ``url_col`` required, same contract as curate_corpus) the warehouse
+    keeps a log-structured ``host_counts`` table (append per commit,
+    summed at read) and each batch's per-host allowance is
+    ``max_per_host - already_kept``; the counts delta for docs the batch
+    actually APPENDS rides the same atomic commit, so the quota can
+    never drift from the corpus.  Empty-host rows are exempt, matching
+    urls.host_caps.
     """
     from .io.tables import open_warehouse
     from .operators import dedup as dd
@@ -351,6 +364,39 @@ def curate_incremental(
     )
     rep.n_new = new.count()
     rep.stages.append("ledger_anti_join")
+
+    # stage 0: url filters — blocklist, then the CROSS-BATCH host quota
+    if (blocklist is not None or max_per_host) and url_col is None:
+        raise ValueError(
+            "curate_incremental: blocklist/max_per_host need an explicit "
+            "url_col (see curate_corpus)"
+        )
+    if blocklist is not None:
+        new = urls.filter_blocklisted_hosts(new, blocklist, url_col=url_col)
+        rep.stages.append("host_blocklist")
+    if max_per_host:
+        from pyspark.sql import Window
+
+        host_counts = (
+            wh.read(spark, HOSTS_TABLE, schema="host string, n long")
+            .groupBy("host").agg(F.sum("n").alias("_kept"))
+        )
+        host = urls.host_of(F.col(url_col))
+        part_key = F.when(host == "", F.concat(F.lit("\x00"), F.col(url_col))).otherwise(host)
+        rank_key = F.xxhash64(F.concat(F.col(url_col), F.lit("v1")))
+        w = Window.partitionBy(part_key).orderBy(rank_key, F.col(url_col))
+        new = (
+            new.withColumn("_host", host)
+            .withColumn("_hc_rn", F.row_number().over(w))
+            .join(F.broadcast(host_counts),
+                  F.col("_host") == F.col("host"), "left")
+            .filter(
+                (F.col("_host") == "")
+                | (F.col("_hc_rn") <= max_per_host - F.coalesce(F.col("_kept"), F.lit(0)))
+            )
+            .drop("_hc_rn", "_kept", "host", "_host")
+        )
+        rep.stages.append("host_caps_incremental")
 
     gk = dict(gopher_kwargs or {})
     gk.setdefault("min_words", min_words)
@@ -453,6 +499,18 @@ def curate_incremental(
         SIGS_TABLE: [wh.stage(surv_sigs, SIGS_TABLE)],
         BANDS_TABLE: [wh.stage(surv_bands, BANDS_TABLE)],
     }
+    if max_per_host:
+        # quota delta = hosts of the docs this batch ACTUALLY appends —
+        # same atomic commit, so quota state never drifts from the corpus.
+        # The url column was projected away by the payload stages, so
+        # recover it from the batch by id (slim join on unique ids).
+        url_map = new.select(F.col(id_col), urls.host_of(F.col(url_col)).alias("host"))
+        delta = (
+            out.select(id_col).join(url_map, id_col)
+            .filter(F.col("host") != "")
+            .groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+        )
+        staged[HOSTS_TABLE] = [wh.stage(delta, HOSTS_TABLE)]
     rep.snapshot_id = wh.commit(staged)
     rep.stages.append("atomic_commit")
     return out, rep

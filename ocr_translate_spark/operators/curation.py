@@ -167,15 +167,19 @@ def drop_boilerplate_lines(
     # one narrow pass over the shared/persisted lines table broadcast as
     # a 1-row stats join, the bm25 pattern) — no separate driver-side
     # count action, which keeps curate_corpus's audited path single-pass.
+    # cutoff floor 1.0: a line occurring in a SINGLE document is never
+    # boilerplate — without the floor, a small corpus/batch where
+    # frac * n < 1 marks every unique line hot and strips all text
+    # (hit by curate_incremental on a 3-survivor micro-batch)
     if n_docs is None:
         tot = lines.filter(F.col("idx") == 0).select(
             F.count(F.lit(1)).cast("double").alias("_nd")
         )
         hot = hot.crossJoin(F.broadcast(tot)).filter(
-            F.col("_df") > F.lit(max_line_frac) * F.col("_nd")
+            F.col("_df") > F.greatest(F.lit(max_line_frac) * F.col("_nd"), F.lit(1.0))
         )
     else:
-        hot = hot.filter(F.col("_df") > max_line_frac * n_docs)
+        hot = hot.filter(F.col("_df") > max(max_line_frac * n_docs, 1.0))
     hot = hot.select("line", F.lit(True).alias("_hot"))
     flagged = lines.join(F.broadcast(hot), "line", "left")
     return flagged.groupBy("doc_id").agg(

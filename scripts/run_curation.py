@@ -33,6 +33,9 @@ def main() -> int:
     ap.add_argument("--min-words", type=int, default=20)
     ap.add_argument("--near-threshold", type=float, default=0.8)
     ap.add_argument("--no-scrub", action="store_true")
+    ap.add_argument("--url-col", default=None)
+    ap.add_argument("--max-per-host", type=int, default=None,
+                    help="cross-batch per-host quota (needs --url-col)")
     ap.add_argument("--stream", action="store_true",
                     help="file-stream mode: one micro-batch per source file")
     ap.add_argument("--cpus", type=int, default=0)
@@ -46,6 +49,8 @@ def main() -> int:
         min_words=args.min_words, near_threshold=args.near_threshold,
         scrub=not args.no_scrub,
     )
+    if args.max_per_host:
+        kw.update(max_per_host=args.max_per_host, url_col=args.url_col)
     t0 = time.monotonic()
     if args.stream:
         from ocr_translate_spark.streaming.curate_stream import run_curation_stream

@@ -195,3 +195,45 @@ def test_read_curated_time_travel_and_split(spark, tmp_path):
     val = read_curated(spark, wh_root, split="val")
     assert train.count() + val.count() == 12
     assert set(train.columns) == {"doc_id", "text", "split"}
+
+
+def test_curate_incremental_cross_batch_host_quota(spark, tmp_path):
+    """The per-host cap holds ACROSS batches: batch A fills the quota for
+    farm.example, so batch B's farm docs are rejected while other hosts
+    ingest; the quota ledger rides the atomic commit."""
+    from ocr_translate_spark.curate import HOSTS_TABLE, curate_incremental
+    from ocr_translate_spark.io.tables import open_warehouse
+
+    wh_root = str(tmp_path / "wh")
+    a_rows = [(f"https://farm.example/a{i}", _sentence(i)) for i in range(6)]
+    a = spark.createDataFrame(a_rows, "doc_id string, text string")
+    _, ra = curate_incremental(
+        spark, wh_root, a, id_col="doc_id", min_words=10, scrub=False,
+        max_per_host=4, url_col="doc_id",
+    )
+    assert ra.n_appended == 4  # capped within the first batch
+
+    b_rows = [(f"https://farm.example/b{i}", _sentence(20 + i)) for i in range(5)]
+    b_rows += [(f"https://ok.example/b{i}", _sentence(40 + i)) for i in range(3)]
+    b = spark.createDataFrame(b_rows, "doc_id string, text string")
+    _, rb = curate_incremental(
+        spark, wh_root, b, id_col="doc_id", min_words=10, scrub=False,
+        max_per_host=4, url_col="doc_id",
+    )
+    # farm is already full from batch A; only ok.example ingests
+    assert rb.n_appended == 3
+    wh = open_warehouse(spark, wh_root)
+    counts = {
+        r["host"]: r["n"]
+        for r in wh.read(spark, HOSTS_TABLE)
+        .groupBy("host").agg(F.sum("n").alias("n")).collect()
+    }
+    assert counts == {"farm.example": 4, "ok.example": 3}
+    # a third batch for a half-full host tops up to the cap only
+    c_rows = [(f"https://ok.example/c{i}", _sentence(60 + i)) for i in range(5)]
+    c = spark.createDataFrame(c_rows, "doc_id string, text string")
+    _, rc = curate_incremental(
+        spark, wh_root, c, id_col="doc_id", min_words=10, scrub=False,
+        max_per_host=4, url_col="doc_id",
+    )
+    assert rc.n_appended == 1  # 4 - 3 already kept

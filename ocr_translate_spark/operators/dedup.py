@@ -569,6 +569,98 @@ def simhash_signatures(
     return wh.select("id", simhash_from_base(F.col("_wh")).alias("simhash"))
 
 
+def _quarter_table(sigs: DataFrame) -> DataFrame:
+    """(id, simhash, q, qv): the four 16-bit quarter keys per signature —
+    pure bit arithmetic over the slim (id, simhash) table, no text, no
+    Python.  At warehouse scale, persist the exploded form bucketed by
+    (q, qv) for a co-located candidate join."""
+    return sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(q).alias("q"),
+                    F.shiftrightunsigned(F.col("simhash"), q * 16)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("qv"),
+                )
+                for q in range(4)
+            ])
+        ).alias("qq"),
+    ).select("id", "simhash", F.col("qq.q").alias("q"), F.col("qq.qv").alias("qv"))
+
+
+def simhash_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The persistent SimHash index of a corpus: ONE slim (id, simhash)
+    table (8 B/doc of signature) to store next to the curated corpus —
+    the SimHash counterpart of :func:`minhash_index`.  Later batches
+    dedup against it via :func:`incremental_simhash_candidates` without
+    touching stored text; the quarter keys are re-derived from the slim
+    table by bit arithmetic (no UDF, no payload)."""
+    return simhash_signatures(df, id_col, text_col, drop_empty=True)
+
+
+def incremental_simhash_candidates(
+    new_df: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """Continuous-ingestion SimHash near-dedup: (id_a, id_b, hamming)
+    pairs touching the new batch — new-vs-corpus plus new-vs-new —
+    against a stored :func:`simhash_index`, signing only new documents.
+
+    Equivalence contract (pinned by pytest): equals the batch
+    ``simhash_near_dups(old UNION new)`` restricted to pairs with at
+    least one new endpoint.  Globally-unique ids required, same as the
+    MinHash incremental path."""
+    new_sigs = simhash_signatures(new_df, id_col, text_col, drop_empty=True)
+    if materialize:
+        new_sigs = new_sigs.persist()
+    nq = _quarter_table(new_sigs)
+    iq = _quarter_table(index_sigs)
+
+    a, c = nq.alias("a"), iq.alias("c")
+    cross = (
+        a.join(
+            c,
+            (F.col("a.q") == F.col("c.q"))
+            & (F.col("a.qv") == F.col("c.qv"))
+            & (F.col("a.id") != F.col("c.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("c.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("c.id")).alias("id_b"),
+            F.when(F.col("a.id") < F.col("c.id"), F.col("a.simhash"))
+            .otherwise(F.col("c.simhash")).alias("sh_a"),
+            F.when(F.col("a.id") < F.col("c.id"), F.col("c.simhash"))
+            .otherwise(F.col("a.simhash")).alias("sh_b"),
+        )
+    )
+    b = nq.alias("b")
+    intra = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qv") == F.col("b.qv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
+        )
+    )
+    cand = cross.unionByName(intra).dropDuplicates(["id_a", "id_b"])
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str,
@@ -588,19 +680,7 @@ def simhash_near_dups(
     sigs = simhash_signatures(df, id_col, text_col, drop_empty=True)
     if materialize:
         sigs = sigs.persist()
-    quarters = sigs.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(q).alias("q"),
-                    F.shiftrightunsigned(F.col("simhash"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qv"),
-                )
-                for q in range(4)
-            ])
-        ).alias("qq"),
-    ).select("id", "simhash", F.col("qq.q").alias("q"), F.col("qq.qv").alias("qv"))
+    quarters = _quarter_table(sigs)
 
     a, b = quarters.alias("a"), quarters.alias("b")
     cand = (

@@ -1222,3 +1222,34 @@ def test_incremental_candidates_plan_shape(spark):
         assert unpersisted.count("ArrowEvalPython") >= 2
     finally:
         spark.catalog.clearCache()
+
+
+def test_incremental_simhash_equals_batch_restriction(spark, documents):
+    """SimHash ingestion contract (mirror of the MinHash one): incremental
+    candidates vs a stored index equal the batch run over old UNION new
+    restricted to new-touching pairs — same pairs, same hamming."""
+    docs = documents.limit(50).select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    dup_src = old.orderBy("doc_id").limit(2).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1).union(dup_src)
+
+    index = dedup.simhash_index(old, "doc_id", "text")
+    inc = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.incremental_simhash_candidates(
+            new, index, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.collect()}
+    batch = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dups(
+            old.union(new), "doc_id", "text", max_hamming=3
+        ).collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert inc == batch and batch
+    planted = {p for p in inc if p[1] >= 100_000}
+    assert len(planted) >= 2 and all(inc[p] == 0 for p in planted)

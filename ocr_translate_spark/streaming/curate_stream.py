@@ -51,11 +51,21 @@ def run_curation_stream(
     )
     reports: list[dict] = []
 
+    # the sink projects the batch down to the columns curation consumes:
+    # id + text, plus the url column when the kwargs switch on the
+    # blocklist/quota stage (projecting it away here used to make
+    # --stream --max-per-host fail at the first batch — the quota stage
+    # never saw its key column)
+    cols = [id_col, text_col]
+    url_col = curate_kwargs.get("url_col")
+    if url_col and url_col not in cols:
+        cols.append(url_col)
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
         _, rep = curate_incremental(
-            spark, warehouse_root, batch_df.select(id_col, text_col),
+            spark, warehouse_root, batch_df.select(*cols),
             id_col=id_col, text_col=text_col, **curate_kwargs,
         )
         d = rep.as_dict()

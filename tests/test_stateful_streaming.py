@@ -142,13 +142,24 @@ def test_streaming_curation_matches_batch_and_is_idempotent(spark, tmp_path):
         return " ".join(words)
 
     rows = [(i, sentence(i)) for i in range(24)]
-    rows.append((100, sentence(3)))   # exact dup (may land cross-batch)
-    rows.append((101, sentence(7) + " extraword"))  # near dup of 7
+    rows.append((100, sentence(3)))   # exact dup, lands in the LAST batch
+    rows.append((101, sentence(7) + " extraword"))  # near dup of 7, last batch
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     docs_dir = str(tmp_path / "docs")
-    # order by id so dups land in LATER micro-batches than their sources
-    docs.orderBy("doc_id").coalesce(1).write.parquet(str(tmp_path / "one"))
-    spark.read.parquet(str(tmp_path / "one")).repartitionByRange(3, "doc_id").write.parquet(docs_dir)
+    # FileStreamSource picks files up in MODIFICATION-TIME order, not id
+    # order — write one file per intended micro-batch and pin widely
+    # spaced mtimes explicitly, so the dup-carrying file deterministically
+    # arrives AFTER its sources are committed (the arrival-order keeper
+    # then matches curate_corpus's min-id keeper and the id sets compare
+    # exactly; an earlier version relied on write order and was flaky).
+    os.makedirs(docs_dir)
+    all_pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    now = time.time()
+    for i, (lo, hi) in enumerate([(0, 10), (10, 20), (20, 200)]):
+        chunk = all_pdf[(all_pdf["doc_id"] >= lo) & (all_pdf["doc_id"] < hi)]
+        path = os.path.join(docs_dir, f"batch-{i:02d}.parquet")
+        chunk.to_parquet(path)
+        os.utime(path, (now - 60 + 20 * i, now - 60 + 20 * i))
 
     wh_root = str(tmp_path / "wh")
     reports = run_curation_stream(
@@ -169,3 +180,55 @@ def test_streaming_curation_matches_batch_and_is_idempotent(spark, tmp_path):
     )
     assert sum(r["n_appended"] for r in reports2) == 0
     assert wh.current_snapshot_id() == snap_before
+
+
+def test_streaming_curation_cross_batch_host_quota(spark, tmp_path):
+    """--stream + --max-per-host end to end: the url column must survive
+    the sink's projection so the quota/blocklist stage sees it, and the
+    cross-batch host ledger must show fill -> reject -> top-up semantics
+    across micro-batches (mirror of
+    test_curate_incremental_cross_batch_host_quota, stream-driven)."""
+    from ocr_translate_spark.curate import CURATED_TABLE, HOSTS_TABLE
+    from ocr_translate_spark.io.tables import open_warehouse
+    from ocr_translate_spark.streaming.curate_stream import run_curation_stream
+    from pyspark.sql import functions as F
+
+    def sentence(i, n=30):
+        words = []
+        for j in range(n):
+            words.append(["the", "quick", "brown", "fox", "jumps", "over",
+                          "and", "lazy", "dog", f"topic{i}w{j}"][j % 10])
+        return " ".join(words)
+
+    batches = [
+        # batch 0 fills farm.example past the cap of 4
+        [(i, f"https://farm.example/a{i}", sentence(i)) for i in range(6)],
+        # batch 1: farm already full -> all rejected; ok.example ingests 3
+        [(20 + i, f"https://farm.example/b{i}", sentence(20 + i)) for i in range(5)]
+        + [(40 + i, f"https://ok.example/b{i}", sentence(40 + i)) for i in range(3)],
+        # batch 2: ok.example tops up to the cap only (4 - 3 = 1)
+        [(60 + i, f"https://ok.example/c{i}", sentence(60 + i)) for i in range(5)],
+    ]
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "url", "text"])
+        path = os.path.join(docs_dir, f"batch-{i:02d}.parquet")
+        pdf.to_parquet(path)
+        os.utime(path, (now - 60 + 20 * i, now - 60 + 20 * i))
+
+    wh_root = str(tmp_path / "wh")
+    reports = run_curation_stream(
+        spark, docs_dir, wh_root, min_words=10, scrub=False,
+        max_per_host=4, url_col="url",
+    )
+    assert [r["n_appended"] for r in reports] == [4, 3, 1]
+    wh = open_warehouse(spark, wh_root)
+    assert wh.read(spark, CURATED_TABLE).count() == 8
+    counts = {
+        r["host"]: r["n"]
+        for r in wh.read(spark, HOSTS_TABLE)
+        .groupBy("host").agg(F.sum("n").alias("n")).collect()
+    }
+    assert counts == {"farm.example": 4, "ok.example": 4}

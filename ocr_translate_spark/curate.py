@@ -37,7 +37,9 @@ mass.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass, field
+from functools import wraps
 
 from pyspark.sql import DataFrame, Observation, functions as F
 
@@ -67,6 +69,71 @@ class CurationReport:
         )} | {"stages": list(self.stages)}
 
 
+@contextmanager
+def _aqe_empty_rule_excluded(spark):
+    """Exclude AQEPropagateEmptyRelation while an observe()-audited plan
+    is BUILT and run: if some stage empties the corpus at runtime (an
+    aggressive quality gate, a fully-memoized replay batch), that rule
+    replaces the upstream subtrees — CollectMetrics included — with empty
+    relations, completing their observations with a schema-less row
+    (toPyRow assertion) and losing the true upstream counts.  Empty
+    pipelines are cheap; honest audit counts are not optional.
+
+    The exclusion must cover ``persist()`` calls, not just the terminal
+    action: caching compiles the cached physical plan EAGERLY with the
+    session conf at persist() time, so an exclusion set only around the
+    final count leaves the cached subtree free to propagate emptiness
+    through its CollectMetrics nodes at materialization (observed:
+    curate_incremental's replay batches died exactly this way when every
+    observation sat under the persisted exact-dedup node).
+
+    CONCURRENCY CONTRACT: the exclusion is set on the SHARED session conf,
+    so any query the same SparkSession runs concurrently (another thread,
+    a streaming sink) executes with the rule excluded too, and a
+    concurrent caller can clobber the restore.  Curation is documented
+    single-query-at-a-time per session (the warehouse is single-writer
+    anyway); a caller that needs true isolation should run curation on
+    ``spark.newSession()``, whose conf is cloned and independent."""
+    exclude_key = "spark.sql.adaptive.optimizer.excludedRules"
+    aqe_empty_rule = (
+        "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+    )
+    prev = spark.conf.get(exclude_key, None)
+    rules = f"{prev},{aqe_empty_rule}" if prev else aqe_empty_rule
+    spark.conf.set(exclude_key, rules)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(exclude_key)
+        else:
+            spark.conf.set(exclude_key, prev)
+
+
+def _excluding_aqe_empty_rule(fn):
+    """Run the whole decorated curation function under
+    :func:`_aqe_empty_rule_excluded` (the session is the first argument,
+    or the first argument's ``.sparkSession``)."""
+
+    @wraps(fn)
+    def wrapper(*args, **kwargs):
+        first = args[0]
+        spark = getattr(first, "sparkSession", first)
+        with _aqe_empty_rule_excluded(spark):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
+def _audited_count(out: DataFrame) -> int:
+    """The ONE terminal action that drives an observe()-audited plan
+    (callers run under :func:`_excluding_aqe_empty_rule`; the nested
+    exclusion here keeps the action safe for any future direct caller)."""
+    with _aqe_empty_rule_excluded(out.sparkSession):
+        return out.count()
+
+
+@_excluding_aqe_empty_rule
 def curate_corpus(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -212,28 +279,7 @@ def curate_corpus(
 
     # ONE terminal action drives the whole audited plan; every stage
     # count materializes as an observed metric of this single job.
-    # AQEPropagateEmptyRelation is excluded for the audited action only:
-    # if some stage empties the corpus (e.g. an aggressive quality gate),
-    # that rule replaces the upstream subtrees — CollectMetrics included —
-    # with empty relations, completing their observations with a
-    # schema-less row (toPyRow assertion) and losing the true upstream
-    # counts.  Empty pipelines are cheap; honest audit counts are not
-    # optional.
-    spark = out.sparkSession
-    exclude_key = "spark.sql.adaptive.optimizer.excludedRules"
-    aqe_empty_rule = (
-        "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
-    )
-    prev = spark.conf.get(exclude_key, None)
-    rules = f"{prev},{aqe_empty_rule}" if prev else aqe_empty_rule
-    spark.conf.set(exclude_key, rules)
-    try:
-        out.count()
-    finally:
-        if prev is None:
-            spark.conf.unset(exclude_key)
-        else:
-            spark.conf.set(exclude_key, prev)
+    _audited_count(out)
 
     def n_of(name: str) -> int:
         return int(observations[name].get["n"])
@@ -293,6 +339,7 @@ BANDS_TABLE = "dedup_bands"        # (id, band, bucket) — LSH band index
 HOSTS_TABLE = "host_counts"        # (host, n) — log-structured quota ledger
 
 
+@_excluding_aqe_empty_rule
 def curate_incremental(
     spark,
     warehouse_root: str,
@@ -357,12 +404,24 @@ def curate_incremental(
     sigs = wh.read(spark, SIGS_TABLE, schema=f"id {id_dt}, sig array<bigint>")
     bands = wh.read(spark, BANDS_TABLE, schema=f"id {id_dt}, band int, bucket bigint")
 
-    rep.n_batch = batch.count()
+    # Single-pass audit (same contract as curate_corpus): every boundary
+    # count is an observe() metric of the ONE terminal action, not its own
+    # count() job — the previous design ran ~8 per-stage count() actions
+    # per micro-batch, re-running the quality/line-dedup lineage several
+    # times, which a high-frequency ingest stream pays on every batch.
+    observations: dict[str, Observation] = {}
+
+    def observed(frame: DataFrame, name: str) -> DataFrame:
+        obs = Observation(f"curate_inc_{name}")
+        observations[name] = obs
+        return frame.observe(obs, F.count(F.lit(1)).alias("n"))
+
+    batch = observed(batch, "batch")
     # idempotent re-ingestion: ids the ledger already holds are done
-    new = batch.join(
-        keys.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    new = observed(
+        batch.join(keys.select(F.col("id").alias(id_col)), id_col, "left_anti"),
+        "new",
     )
-    rep.n_new = new.count()
     rep.stages.append("ledger_anti_join")
 
     # stage 0: url filters — blocklist, then the CROSS-BATCH host quota
@@ -405,15 +464,14 @@ def curate_incremental(
         .filter("passes")
         .select(id_col, text_col)
     )
-    rep.n_after_quality = cur.count()
+    cur = observed(cur, "quality")
     rep.stages.append("gopher_rules")
 
     rebuilt = curation.drop_boilerplate_lines(
         cur, id_col, text_col, max_line_frac=max_line_frac,
     ).select(F.col("doc_id").alias(id_col), F.col("clean_text").alias(text_col))
     words = F.filter(F.split(F.col(text_col), r"\s+", -1), lambda x: x != F.lit(""))
-    cur = rebuilt.filter(F.size(words) >= min_words)
-    rep.n_after_line_dedup = cur.count()
+    cur = observed(rebuilt.filter(F.size(words) >= min_words), "line_dedup")
     rep.stages.append("line_dedup")
 
     if scrub:
@@ -421,16 +479,18 @@ def curate_incremental(
         rep.stages.append("pii_scrub")
 
     # exact dedup: within batch, then against the stored md5 keys
-    cur = dedup.dedup_exact(cur, id_col, text_col)
-    n_batch_exact = cur.count()
+    cur = observed(dedup.dedup_exact(cur, id_col, text_col), "batch_exact")
     cur = cur.withColumn("_md5", F.md5(F.col(text_col))).join(
         keys.select(F.col("content_md5").alias("_md5")).distinct(),
         "_md5", "left_anti",
     ).drop("_md5")
-    rep.n_after_exact_dedup = cur.count()
-    rep.n_dropped_vs_corpus_exact = n_batch_exact - rep.n_after_exact_dedup
     rep.stages.append("dedup_exact")
-    cur = cur.persist()
+    # the persisted node sits ABOVE its observations: metrics still report
+    # through InMemoryRelation (verified), and the near-dedup stage's four
+    # references to cur share one cache materialization within the single
+    # audited action
+    cur = observed(cur, "exact_dedup").persist()
+    cached = cur  # unpersist handle (cur is reassigned downstream)
 
     # near dedup: stored index first (corpus wins), then within batch
     new_ids = cur.select(F.col(id_col).alias("_nid"))
@@ -458,8 +518,7 @@ def curate_incremental(
         .select(F.col("id_b").alias(id_col))
     )
     drops = lose_a.unionByName(lose_b).distinct()
-    cur = cur.join(drops, id_col, "left_anti")
-    rep.n_after_near_dedup = cur.count()
+    cur = observed(cur.join(drops, id_col, "left_anti"), "near_dedup")
     rep.stages.append("minhash_lsh_incremental")
 
     if benchmark is not None:
@@ -469,19 +528,37 @@ def curate_incremental(
         )
         cur = cur.join(clean_ids, id_col, "left_semi")
         rep.stages.append("decontaminate")
-    rep.n_after_decontamination = cur.count()
+    cur = observed(cur, "decontamination")
 
     out = curation.split_by_hash(
         cur.select(id_col, text_col), id_col, val_fraction=val_fraction
     ).persist()
-    rep.n_appended = out.count()
     rep.stages.append("train_val_split")
+
+    # the ONE action of the batch's audit phase: materializes out's cache
+    # and completes every observation above (AQE empty-relation rule
+    # excluded around it — see _audited_count)
+    rep.n_appended = _audited_count(out)
+
+    def n_of(name: str) -> int:
+        return int(observations[name].get["n"])
+
+    rep.n_batch = n_of("batch")
+    rep.n_new = n_of("new")
+    rep.n_after_quality = n_of("quality")
+    rep.n_after_line_dedup = n_of("line_dedup")
+    rep.n_after_exact_dedup = n_of("exact_dedup")
+    rep.n_dropped_vs_corpus_exact = n_of("batch_exact") - rep.n_after_exact_dedup
+    rep.n_after_near_dedup = n_of("near_dedup")
+    rep.n_after_decontamination = n_of("decontamination")
 
     if rep.n_appended == 0:
         # fully-rejected (or fully-memoized) batch: nothing to publish —
         # don't burn a snapshot on four empty appends
         rep.snapshot_id = wh.current_snapshot_id()
         rep.stages.append("noop_commit")
+        cached.unpersist()
+        cands.unpersist()
         return out, rep
 
     # derive the index rows for the survivors and publish EVERYTHING in
@@ -503,8 +580,10 @@ def curate_incremental(
         # quota delta = hosts of the docs this batch ACTUALLY appends —
         # same atomic commit, so quota state never drifts from the corpus.
         # The url column was projected away by the payload stages, so
-        # recover it from the batch by id (slim join on unique ids).
-        url_map = new.select(F.col(id_col), urls.host_of(F.col(url_col)).alias("host"))
+        # recover it from the RAW batch by id (out ids ⊆ new ⊆ batch and
+        # url-per-id is invariant, so joining the raw scan gives the same
+        # hosts without re-running the ledger/quota lineage).
+        url_map = batch.select(F.col(id_col), urls.host_of(F.col(url_col)).alias("host"))
         delta = (
             out.select(id_col).join(url_map, id_col)
             .filter(F.col("host") != "")
@@ -513,6 +592,13 @@ def curate_incremental(
         staged[HOSTS_TABLE] = [wh.stage(delta, HOSTS_TABLE)]
     rep.snapshot_id = wh.commit(staged)
     rep.stages.append("atomic_commit")
+    # drop the batch-scoped caches now the commit landed; a long-running
+    # ingest stream must not accumulate cached relations across
+    # micro-batches.  ``out`` stays cached — the CALLER owns it (tests
+    # and the stream sink read it back; unpersist when done).
+    cached.unpersist()
+    cands.unpersist()
+    surv_sigs.unpersist()
     return out, rep
 
 

@@ -125,6 +125,32 @@ def test_curate_corpus_single_pass(spark):
     assert after - before == 1, (before, after)
 
 
+def test_curate_incremental_single_pass(spark, tmp_path):
+    """Each micro-batch's audit phase is ONE SQL execution (observe()
+    metrics, not per-stage count() jobs — the r5 verdict-#3 contract):
+    an appending batch runs 1 audited action + exactly one stage-write
+    per published table; a fully-memoized replay runs the audited action
+    ALONE (no staging, no snapshot)."""
+    from ocr_translate_spark.curate import curate_incremental
+
+    wh_root = str(tmp_path / "wh")
+    b1 = spark.createDataFrame(
+        [(i, _sentence(i)) for i in range(10)], "doc_id long, text string"
+    )
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsCount()
+    _, rep1 = curate_incremental(spark, wh_root, b1, min_words=10, scrub=False)
+    mid = store.executionsCount()
+    assert rep1.n_appended == 10
+    # 1 audited action + 4 stage writes (curated/keys/sigs/bands)
+    assert mid - before == 1 + 4, (before, mid)
+
+    _, rep2 = curate_incremental(spark, wh_root, b1, min_words=10, scrub=False)
+    after = store.executionsCount()
+    assert rep2.n_appended == 0 and rep2.stages[-1] == "noop_commit"
+    assert after - mid == 1, (mid, after)
+
+
 def test_curate_incremental_two_batches(spark, tmp_path):
     """Continuous ingestion: batch 1 seeds the warehouse; batch 2's
     exact dup of a stored doc dies on the md5 key index, its near dup of

@@ -434,19 +434,15 @@ def curate_incremental(
         new = urls.filter_blocklisted_hosts(new, blocklist, url_col=url_col)
         rep.stages.append("host_blocklist")
     if max_per_host:
-        from pyspark.sql import Window
-
         host_counts = (
             wh.read(spark, HOSTS_TABLE, schema="host string, n long")
             .groupBy("host").agg(F.sum("n").alias("_kept"))
         )
-        host = urls.host_of(F.col(url_col))
-        part_key = F.when(host == "", F.concat(F.lit("\x00"), F.col(url_col))).otherwise(host)
-        rank_key = F.xxhash64(F.concat(F.col(url_col), F.lit("v1")))
-        w = Window.partitionBy(part_key).orderBy(rank_key, F.col(url_col))
+        # exact salted two-level per-host rank (urls.host_rank): the
+        # batch's remaining allowance is at most max_per_host, so the
+        # shard prune at max_per_host is lossless here too
         new = (
-            new.withColumn("_host", host)
-            .withColumn("_hc_rn", F.row_number().over(w))
+            urls.host_rank(new, url_col, max_per_host)
             .join(F.broadcast(host_counts),
                   F.col("_host") == F.col("host"), "left")
             .filter(

@@ -125,12 +125,66 @@ def filter_blocklisted_hosts(
     )
 
 
+def host_rank(
+    df: DataFrame,
+    url_col: str = "url",
+    max_k: int = 100_000,
+    seed: str = "v1",
+    rank_key: Column | None = None,
+    salt_shards: int | None = 16,
+) -> DataFrame:
+    """EXACT per-host rank (1-based, deterministic salted-hash order)
+    computed skew-safely, for rows that could be in any host's top
+    ``max_k`` — rows provably outside it may be dropped.  Adds columns
+    ``_host`` and ``_hc_rn``; callers filter on ``_hc_rn`` and drop both.
+
+    Giant-host treatment (two-level top-k): a single window partitioned
+    by host puts a 10^8-page SEO farm through ONE task's sort at crawl
+    scale.  Instead, level 1 ranks within ``(host, salt)`` shards
+    (``salt_shards`` deterministic url-hash shards) and prunes each
+    shard to its local top-``max_k`` — any row in the host's global
+    top-``max_k`` is necessarily in its own shard's top-``max_k``, so
+    the prune loses nothing; level 2 re-ranks the survivors in one
+    window per host whose input is now BOUNDED by
+    ``salt_shards * max_k`` rows regardless of host size.  Both levels
+    order by the same ``(rank_key, url)`` total order, so the final
+    rank (and therefore the kept set) is IDENTICAL to the single-window
+    result — verified by equivalence test.  ``salt_shards=None`` (or
+    ``<= 1``) opts out to the single window.
+
+    Rows whose extracted host is EMPTY get their own partition (keyed by
+    full url), so they rank 1 everywhere — the empty-host exemption the
+    callers rely on."""
+    from pyspark.sql import Window
+
+    host = host_of(F.col(url_col))
+    part_key = F.when(host == "", F.concat(F.lit("\x00"), F.col(url_col))).otherwise(host)
+    if rank_key is None:
+        rank_key = F.xxhash64(F.concat(F.col(url_col), F.lit(seed)))
+    order = [rank_key, F.col(url_col)]
+    out = df.withColumn("_host", host)
+    if salt_shards and salt_shards > 1:
+        salt = F.pmod(
+            F.xxhash64(F.col(url_col), F.lit(seed), F.lit("shard")),
+            F.lit(salt_shards),
+        )
+        w1 = Window.partitionBy(part_key, salt).orderBy(*order)
+        out = (
+            out.withColumn("_hc_rn1", F.row_number().over(w1))
+            .filter(F.col("_hc_rn1") <= max_k)
+            .drop("_hc_rn1")
+        )
+    w2 = Window.partitionBy(part_key).orderBy(*order)
+    return out.withColumn("_hc_rn", F.row_number().over(w2))
+
+
 def host_caps(
     df: DataFrame,
     url_col: str = "url",
     max_per_host: int = 100_000,
     seed: str = "v1",
     rank_key: Column | None = None,
+    salt_shards: int | None = 16,
 ) -> DataFrame:
     """Per-host document quota (domain-cap sampling, the anti-SEO-farm
     guard every web corpus applies): keep at most ``max_per_host`` rows
@@ -147,21 +201,16 @@ def host_caps(
     and the empty-host mass never lands in one giant single-task
     partition either.
 
-    One window over the host key — the host distribution is exactly the
-    skew host_stats surfaces, so at 100 TB this window wants the same
-    salted two-level treatment as pack_documents IF a single host
-    exceeds executor memory; at the documented cap the per-host state is
-    bounded by max_per_host row ids, which row_number streams without
-    materializing."""
-    from pyspark.sql import Window
-
-    host = host_of(F.col(url_col))
-    part_key = F.when(host == "", F.concat(F.lit("\x00"), F.col(url_col))).otherwise(host)
-    if rank_key is None:
-        rank_key = F.xxhash64(F.concat(F.col(url_col), F.lit(seed)))
-    w = Window.partitionBy(part_key).orderBy(rank_key, F.col(url_col))
+    Skew: ranks come from :func:`host_rank`'s salted two-level top-k, so
+    a giant host never runs through a single task's sort — the one
+    host-partitioned window sees at most ``salt_shards * max_per_host``
+    rows per host.  The kept SET is byte-identical to the single-window
+    form (``salt_shards=None``)."""
     return (
-        df.withColumn("_hc_rn", F.row_number().over(w))
+        host_rank(
+            df, url_col, max_per_host,
+            seed=seed, rank_key=rank_key, salt_shards=salt_shards,
+        )
         .filter(F.col("_hc_rn") <= max_per_host)
-        .drop("_hc_rn")
+        .drop("_hc_rn", "_host")
     )

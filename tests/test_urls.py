@@ -79,6 +79,53 @@ def test_host_caps_deterministic_quota(spark):
     assert again == {i for s in by_host.values() for i in s}
 
 
+def test_host_caps_two_level_equals_single_window(spark):
+    """The salted two-level top-k (default) keeps the IDENTICAL set the
+    single host window keeps — including a planted giant host, small
+    hosts below the cap, and empty-host (exempt) rows — so the skew-safe
+    plan changes nothing about semantics."""
+    rows = [(i, f"https://giant.example/p{i}") for i in range(600)]
+    rows += [(1000 + i, f"https://small.example/p{i}") for i in range(7)]
+    rows += [(2000 + i, f"plain-key-{i}") for i in range(30)]  # empty host
+    df = spark.createDataFrame(rows, "id long, url string").repartition(8)
+    two = {r["id"] for r in urls.host_caps(df, max_per_host=20).collect()}
+    one = {r["id"] for r in
+           urls.host_caps(df, max_per_host=20, salt_shards=None).collect()}
+    assert two == one
+    giant = sum(1 for i in two if i < 1000)
+    assert giant == 20
+    assert {1000 + i for i in range(7)} <= two       # below cap: all kept
+    assert {2000 + i for i in range(30)} <= two      # exempt: all kept
+
+
+def test_host_caps_plan_is_salted(spark):
+    """Plan guard for the 100 TB skew story: the default host_caps plan
+    contains NO window partitioned by the bare host key alone over the
+    full input — the first (full-corpus) window partitions by
+    (host, salt), and the bare-host window runs only above the
+    shard-pruned filter (bounded input per host)."""
+    df = spark.createDataFrame(
+        [(i, f"https://h{i % 3}.example/p{i}") for i in range(30)],
+        "id long, url string",
+    )
+    import re
+
+    plan = urls.host_caps(df, max_per_host=5)._jdf.queryExecution().optimizedPlan().toString()
+    windows = [ln for ln in plan.splitlines() if "Window [row_number()" in ln]
+    assert len(windows) == 2, plan
+    # level 1 (deeper = later line) partitions by TWO columns (host, salt)
+    assert re.search(r"AS _hc_rn1#\d+\], \[_w0#\d+, _w1#\d+L?\]", windows[1]), windows[1]
+    # level 2 partitions by the bare host key ALONE...
+    assert re.search(r"AS _hc_rn#\d+\], \[_w0#\d+\],", windows[0]), windows[0]
+    # ...but only above the shard-local-rank prune, so its per-host input
+    # is bounded by salt_shards * max_per_host
+    assert "Filter (_hc_rn1" in plan, plan
+    # the salt is a pmod over a url hash, and Spark's WindowGroupLimit
+    # computes both top-k prunes map-side before the sorts
+    assert "pmod(xxhash64" in plan
+    assert plan.count("WindowGroupLimit") == 2, plan
+
+
 def test_normalize_url_idempotent(spark):
     """Canonicalization must be a fixed point: normalize(normalize(u)) ==
     normalize(u) for a grid of messy url shapes (double application is

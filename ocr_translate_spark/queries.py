@@ -793,8 +793,13 @@ def q_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing, all three container sniffers in one registry
-    row (folds the former ``image_metadata`` row, round-3 verdict #1):
+    """Multimodal plumbing: all three container sniffers PLUS the
+    resize-geometry and frame-grid operators in one registry row (folds
+    the former ``image_metadata`` row per round-3 verdict #1, and
+    ``resize_images``/``sample_frames`` per round-5 verdict #5 — their
+    aspect-preserving scale math and every_ms/max_frames sampling grid
+    are exact arithmetic over the sniffed headers, so the oracle
+    value-checks them in closed form):
     synthesize PNG (doc_id %% 3 == 0), WAV (%% 3 == 1) and MP4 (%% 3 == 2)
     payloads with doc_id-derived header fields, parse them back with the
     pure-bytes sniffers (multimodal.image_metadata / media_metadata), and
@@ -832,10 +837,14 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     schema = "doc_id long, payload binary"
-    imgs = multimodal.image_metadata(
-        docs.filter(F.col("doc_id") % 3 == 0).mapInPandas(build_png, schema),
-        "payload",
-    ).select(
+    # image branch: resize_images chains ABOVE the build (it keeps every
+    # input column), so one synthesized payload feeds both the geometry
+    # math and the sniffer
+    built_png = docs.filter(F.col("doc_id") % 3 == 0).mapInPandas(build_png, schema)
+    resized = multimodal.resize_images(
+        built_png, "payload", max_width=224, max_height=224
+    )
+    imgs = multimodal.image_metadata(resized, "payload").select(
         "doc_id",
         F.col("format").alias("media_format"),
         F.col("width").cast("long").alias("width"),
@@ -844,19 +853,41 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("sample_rate"),
         F.lit(-1).cast("long").alias("duration_ms"),
         F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("resized_width").cast("long").alias("resized_width"),
+        F.col("resized_height").cast("long").alias("resized_height"),
+        F.lit(-1).cast("long").alias("n_frames"),
+        F.lit(-1).cast("long").alias("last_frame_ts_ms"),
     )
-    media = multimodal.media_metadata(
-        docs.filter(F.col("doc_id") % 3 != 0).mapInPandas(build_av, schema),
-        "payload",
-    ).select(
-        "doc_id",
-        "media_format",
-        F.lit(-1).cast("long").alias("width"),
-        F.lit(-1).cast("long").alias("height"),
-        F.col("channels").cast("long").alias("channels"),
-        F.col("sample_rate").cast("long").alias("sample_rate"),
-        F.col("duration_ms").cast("long").alias("duration_ms"),
-        F.col("n_bytes").cast("long").alias("n_bytes"),
+    # a/v branch: sample_frames explodes one row per sampled timestamp
+    # (wav payloads emit zero rows — sniff_mp4 rejects them), then the
+    # frame grid folds back to one row per doc; max_frames=16 makes the
+    # corrupt-header cap BIND for doc_id % 20 >= 15, so the oracle checks
+    # both regimes.  The a/v payload is synthesized once per consumer
+    # branch (header arithmetic, cheap); a corpus-scale caller would
+    # persist the built frame instead.
+    built_av = docs.filter(F.col("doc_id") % 3 != 0).mapInPandas(build_av, schema)
+    frames = (
+        multimodal.sample_frames(built_av, "payload", every_ms=1000, max_frames=16)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_nf"), F.max("frame_ts_ms").alias("_lts"))
+    )
+    media = (
+        multimodal.media_metadata(built_av, "payload")
+        .join(frames, "doc_id", "left")
+        .select(
+            "doc_id",
+            "media_format",
+            F.lit(-1).cast("long").alias("width"),
+            F.lit(-1).cast("long").alias("height"),
+            F.col("channels").cast("long").alias("channels"),
+            F.col("sample_rate").cast("long").alias("sample_rate"),
+            F.col("duration_ms").cast("long").alias("duration_ms"),
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            F.lit(-1).cast("long").alias("resized_width"),
+            F.lit(-1).cast("long").alias("resized_height"),
+            F.coalesce(F.col("_nf"), F.lit(-1)).cast("long").alias("n_frames"),
+            F.coalesce(F.col("_lts"), F.lit(-1)).cast("long").alias("last_frame_ts_ms"),
+        )
     )
     return imgs.unionByName(media)
 
@@ -1889,7 +1920,19 @@ ORACLE_SQL: dict[str, str] = {
                WHEN 1 THEN 44 + ((doc_id % 10 + 1)
                     * (8000 + (doc_id % 8) * 1000) // 10)
                     * ((doc_id // 3) % 2 + 1) * 2
-               ELSE 52 END AS BIGINT) AS n_bytes
+               ELSE 52 END AS BIGINT) AS n_bytes,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN GREATEST(1, CAST(FLOOR(
+               (doc_id % 640 + 1) * LEAST(224.0 / (doc_id % 640 + 1),
+                224.0 / (doc_id % 480 + 1), 1.0)) AS BIGINT))
+               ELSE -1 END AS BIGINT) AS resized_width,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN GREATEST(1, CAST(FLOOR(
+               (doc_id % 480 + 1) * LEAST(224.0 / (doc_id % 640 + 1),
+                224.0 / (doc_id % 480 + 1), 1.0)) AS BIGINT))
+               ELSE -1 END AS BIGINT) AS resized_height,
+          CAST(CASE WHEN doc_id % 3 = 2 THEN LEAST(16, doc_id % 20 + 2)
+               ELSE -1 END AS BIGINT) AS n_frames,
+          CAST(CASE WHEN doc_id % 3 = 2 THEN (LEAST(16, doc_id % 20 + 2) - 1) * 1000
+               ELSE -1 END AS BIGINT) AS last_frame_ts_ms
         FROM documents
     """,
     "model_lang_sync": """

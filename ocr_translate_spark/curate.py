@@ -598,6 +598,71 @@ def curate_incremental(
     return out, rep
 
 
+def compact_warehouse(
+    spark,
+    warehouse_root: str,
+    tables: "list[str] | None" = None,
+    target_files: "int | None" = None,
+) -> "tuple[int, dict[str, int]]":
+    """Compact the curation warehouse: rewrite each table's CURRENT
+    committed state into one fresh staged directory and publish a single
+    atomic replace-commit — the maintenance pass continuous ingestion
+    needs, because :func:`curate_incremental` appends one directory per
+    batch to ``curated``/``curated_keys``/``dedup_sigs``/``dedup_bands``/
+    ``host_counts`` forever, and at daily batches the band-join's file
+    listing and the summed host-quota log grow without bound.
+
+    * ``host_counts`` is additionally FOLDED (``GROUP BY host SUM(n)``)
+      — the log-structured ledger collapses to one row per host with
+      identical read-side semantics (reads always sum).
+    * Every other table is rewritten as-is into ``target_files``
+      partitions (default: the session's parallelism).
+    * All compacted tables ride ONE replace-commit, so readers switch
+      atomically; earlier manifests still reference the old directories,
+      so TIME TRAVEL to pre-compaction snapshots is unaffected (the same
+      discipline as the ingest commit — see io/tables.py commit()).
+    * SINGLE-WRITER: compaction occupies the warehouse's serialized
+      writer slot; running it concurrently with an ingest batch could
+      replace away rows appended between the read and the commit.
+
+    Returns ``(snapshot_id, {table: n_rows})``.  Tables with no
+    committed data are skipped.  A no-op compaction (nothing committed
+    yet) returns the current snapshot id and an empty dict.
+    """
+    from .io.tables import open_warehouse
+
+    wh = open_warehouse(spark, warehouse_root)
+    tables = tables if tables is not None else [
+        CURATED_TABLE, KEYS_TABLE, SIGS_TABLE, BANDS_TABLE, HOSTS_TABLE,
+    ]
+    n_parts = target_files or spark.sparkContext.defaultParallelism
+    staged: dict[str, list[str]] = {}
+    rows: dict[str, int] = {}
+    for table in tables:
+        try:
+            df = wh.read(spark, table)
+        except Exception:
+            continue  # never committed — nothing to compact
+        if table == HOSTS_TABLE:
+            df = df.groupBy("host").agg(F.sum("n").alias("n"))
+        staged[table] = [wh.stage(df.repartition(n_parts), table)]
+        rows[table] = wh.read_staged(spark, staged[table][0]).count()
+    if not staged:
+        return wh.current_snapshot_id(), {}
+    import inspect
+
+    if "replace" not in inspect.signature(wh.commit).parameters:
+        # the Iceberg-catalog branch compacts via its own metadata
+        # procedures (rewrite_data_files / expire_snapshots), not a
+        # replace-commit; don't silently append-duplicate the corpus
+        raise NotImplementedError(
+            "compact_warehouse needs a replace-commit; on an Iceberg "
+            "catalog use CALL rewrite_data_files / expire_snapshots"
+        )
+    snap = wh.commit(staged, replace=set(staged))
+    return snap, rows
+
+
 def read_curated(
     spark,
     warehouse_root: str,

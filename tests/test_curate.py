@@ -223,6 +223,71 @@ def test_read_curated_time_travel_and_split(spark, tmp_path):
     assert set(train.columns) == {"doc_id", "text", "split"}
 
 
+def test_compact_warehouse(spark, tmp_path):
+    """Compaction folds the per-batch appended directories into one dir
+    per table (host_counts additionally sums to one row per host) in a
+    single atomic replace-commit, preserves every read-side value, keeps
+    time travel to pre-compaction snapshots intact, and later ingest
+    batches still dedup correctly against the rewritten indexes."""
+    from ocr_translate_spark.curate import (
+        BANDS_TABLE, CURATED_TABLE, HOSTS_TABLE, KEYS_TABLE, SIGS_TABLE,
+        compact_warehouse, curate_incremental,
+    )
+    from ocr_translate_spark.io.tables import open_warehouse
+
+    wh_root = str(tmp_path / "wh")
+    for b in range(3):
+        rows = [(f"https://h{i % 2}.example/{b}/{i}", _sentence(100 * b + i))
+                for i in range(6)]
+        batch = spark.createDataFrame(rows, "doc_id string, text string")
+        _, r = curate_incremental(
+            spark, wh_root, batch, id_col="doc_id", min_words=10, scrub=False,
+            max_per_host=100, url_col="doc_id",
+        )
+        assert r.n_appended == 6
+    wh = open_warehouse(spark, wh_root)
+    pre_snap = wh.current_snapshot_id()
+    pre_dirs = wh._manifest(pre_snap)["tables"]
+    assert all(len(v) == 3 for v in pre_dirs.values()), pre_dirs
+    pre_hosts = {
+        r["host"]: r["n"]
+        for r in wh.read(spark, HOSTS_TABLE)
+        .groupBy("host").agg(F.sum("n").alias("n")).collect()
+    }
+
+    snap, rows_by_table = compact_warehouse(spark, wh_root)
+    assert snap == pre_snap + 1
+    post_dirs = wh._manifest(snap)["tables"]
+    assert all(len(v) == 1 for v in post_dirs.values()), post_dirs
+    assert rows_by_table[CURATED_TABLE] == rows_by_table[KEYS_TABLE] == 18
+    assert rows_by_table[SIGS_TABLE] == 18
+    assert rows_by_table[BANDS_TABLE] == 18 * 8
+    assert rows_by_table[HOSTS_TABLE] == 2  # log folded to one row/host
+    post_hosts = {
+        r["host"]: r["n"] for r in wh.read(spark, HOSTS_TABLE).collect()
+    }
+    assert post_hosts == pre_hosts
+    # time travel still sees the uncompacted state
+    assert wh.read(spark, CURATED_TABLE, snapshot_id=pre_snap).count() == 18
+    assert wh.read(spark, CURATED_TABLE).count() == 18
+
+    # post-compaction ingest: exact + near dups still die on the
+    # rewritten indexes, fresh docs append
+    b4 = spark.createDataFrame(
+        [("https://h0.example/dup", _sentence(0)),          # exact dup of batch-0 doc
+         ("https://h0.example/near", _sentence(1) + " extraword"),  # near dup
+         ("https://h0.example/fresh", _sentence(999))],
+        "doc_id string, text string",
+    )
+    _, r4 = curate_incremental(
+        spark, wh_root, b4, id_col="doc_id", min_words=10, scrub=False,
+        max_per_host=100, url_col="doc_id",
+    )
+    assert r4.n_dropped_vs_corpus_exact == 1
+    assert r4.n_appended == 1
+    assert wh.read(spark, CURATED_TABLE).count() == 19
+
+
 def test_curate_incremental_cross_batch_host_quota(spark, tmp_path):
     """The per-host cap holds ACROSS batches: batch A fills the quota for
     farm.example, so batch B's farm docs are rejected while other hosts

@@ -238,9 +238,17 @@ def repetition_gram_stats(
     the position-coverage union some reimplementations use.  The two
     differ only when duplicated grams overlap; the occurrence form is
     deterministic, shuffle-free, and cross-engine verifiable in SQL
-    (the coverage union needs per-position interval merging).  The top
-    n-gram fraction counts ALL occurrences of the single most frequent
-    gram, matching the paper.  Character counts are word characters
+    (the coverage union needs per-position interval merging).  The SAME
+    deviation applies to the top-n-gram fraction: it weights ALL
+    occurrences of the single most frequent gram — including
+    self-overlapping ones — so on degenerate spam text the "fraction"
+    can EXCEED 1.0 (e.g. ``a a a ... a``: every bigram is ``a a`` and
+    the occurrence-weighted characters outnumber the document's), where
+    the paper's position-coverage form is bounded by 1.  Threshold
+    behavior is unchanged (values above any sane cutoff still drop the
+    doc, and only spam-like text exceeds 1), but tune thresholds against
+    THIS definition, not the paper's bound.  Character counts are word
+    characters
     (gram length minus its n-1 separators); fractions are over the
     document's total word characters (line fractions over total line
     characters), exact IEEE divisions of integer counts.

@@ -13,6 +13,12 @@ idempotent, atomically committed, deduped against the stored corpus
 (curate.curate_incremental).  ``--stream`` instead treats the path as a
 file stream and ingests one micro-batch per source file
 (streaming.curate_stream).
+
+``--compact`` runs the maintenance pass instead of ingesting (no
+--docs needed): per-batch appended directories fold into one per table,
+host_counts collapses to one row per host, one atomic replace-commit
+(curate.compact_warehouse).  Schedule it every N batches — it is the
+writer for its duration (single-writer contract).
 """
 
 from __future__ import annotations
@@ -25,8 +31,13 @@ import time
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", required=True,
+    ap.add_argument("--docs",
                     help="documents parquet path or table:<catalog name>")
+    ap.add_argument("--compact", action="store_true",
+                    help="compact the warehouse instead of ingesting")
+    ap.add_argument("--target-files", type=int, default=None,
+                    help="partitions per compacted table (default: session "
+                         "parallelism)")
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
@@ -44,6 +55,20 @@ def main() -> int:
     from ocr_translate_spark.session import get_spark
 
     spark = get_spark("curate-pipeline", cpus=args.cpus or None)
+    if args.compact:
+        from ocr_translate_spark.curate import compact_warehouse
+
+        t0 = time.monotonic()
+        snap, rows = compact_warehouse(
+            spark, args.warehouse, target_files=args.target_files
+        )
+        print(json.dumps({
+            "mode": "compact", "snapshot_id": snap, "rows": rows,
+            "wall_sec": round(time.monotonic() - t0, 3),
+        }))
+        return 0
+    if not args.docs:
+        ap.error("--docs is required unless --compact is given")
     kw = dict(
         id_col=args.id_col, text_col=args.text_col,
         min_words=args.min_words, near_threshold=args.near_threshold,

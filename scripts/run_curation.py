@@ -25,8 +25,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# plain `python scripts/run_curation.py` puts scripts/ on sys.path, not
+# the repo root; spark-submit --py-files covers executors, this covers
+# the driver process itself
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

@@ -112,14 +112,31 @@ def _aqe_empty_rule_excluded(spark):
 
 def _excluding_aqe_empty_rule(fn):
     """Run the whole decorated curation function under
-    :func:`_aqe_empty_rule_excluded` (the session is the first argument,
-    or the first argument's ``.sparkSession``)."""
+    :func:`_aqe_empty_rule_excluded` for EVERY session reachable from
+    its positional arguments (a SparkSession argument or a DataFrame's
+    ``.sparkSession``).
+
+    Covering all of them matters under Structured Streaming:
+    ``foreachBatch`` hands the sink a DataFrame bound to a CLONED
+    session (MicroBatchExecution clones the session per run, conf
+    independent), so excluding the rule only on the caller's session
+    left the cloned session's AQE free to propagate runtime-empty
+    subtrees through the audited plan — the observations completed with
+    schema-less rows exactly as in the persist case."""
+    from contextlib import ExitStack
 
     @wraps(fn)
     def wrapper(*args, **kwargs):
-        first = args[0]
-        spark = getattr(first, "sparkSession", first)
-        with _aqe_empty_rule_excluded(spark):
+        from pyspark.sql import SparkSession
+
+        sessions: list = []
+        for a in args:
+            s = a if isinstance(a, SparkSession) else getattr(a, "sparkSession", None)
+            if s is not None and all(s is not o for o in sessions):
+                sessions.append(s)
+        with ExitStack() as stack:
+            for s in sessions:
+                stack.enter_context(_aqe_empty_rule_excluded(s))
             return fn(*args, **kwargs)
 
     return wrapper

@@ -32,12 +32,19 @@ def run_curation_stream(
     text_col: str = "text",
     max_files_per_trigger: int = 1,
     checkpoint_dir: str | None = None,
+    compact_every: int | None = None,
     **curate_kwargs,
 ) -> list[dict]:
     """Drive curation as a file stream (one micro-batch per source file
     by default), committing one warehouse snapshot per batch with
     survivors.  ``curate_kwargs`` pass through to curate_incremental
     (min_words, near_threshold, gopher_kwargs, benchmark, ...).
+
+    ``compact_every=N`` runs :func:`curate.compact_warehouse` after
+    every N appending batches, inside the sink (the stream IS the
+    single writer, so the slot is free between batches) — continuous
+    ingestion then keeps a bounded file count on the index tables
+    instead of one directory per batch forever.
 
     Returns the per-batch report dicts (with ``batch_id``); a replayed
     batch reports ``n_appended == 0`` and burns no snapshot.
@@ -61,7 +68,10 @@ def run_curation_stream(
     if url_col and url_col not in cols:
         cols.append(url_col)
 
+    appended_batches = 0
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal appended_batches
         if not batch_df.take(1):
             return
         _, rep = curate_incremental(
@@ -70,6 +80,13 @@ def run_curation_stream(
         )
         d = rep.as_dict()
         d["batch_id"] = batch_id
+        if rep.n_appended:
+            appended_batches += 1
+            if compact_every and appended_batches % compact_every == 0:
+                from ..curate import compact_warehouse
+
+                snap, _rows = compact_warehouse(spark, warehouse_root)
+                d["compacted_snapshot_id"] = snap
         reports.append(d)
 
     writer = stream.writeStream.foreachBatch(sink)

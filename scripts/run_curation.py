@@ -55,6 +55,9 @@ def main() -> int:
                     help="cross-batch per-host quota (needs --url-col)")
     ap.add_argument("--stream", action="store_true",
                     help="file-stream mode: one micro-batch per source file")
+    ap.add_argument("--compact-every", type=int, default=None,
+                    help="stream mode: compact the warehouse after every N "
+                         "appending batches")
     ap.add_argument("--cpus", type=int, default=0)
     args = ap.parse_args()
 
@@ -86,7 +89,10 @@ def main() -> int:
     if args.stream:
         from ocr_translate_spark.streaming.curate_stream import run_curation_stream
 
-        reports = run_curation_stream(spark, args.docs, args.warehouse, **kw)
+        reports = run_curation_stream(
+            spark, args.docs, args.warehouse,
+            compact_every=args.compact_every, **kw,
+        )
         out = {
             "mode": "stream", "batches": reports,
             "n_appended": sum(r["n_appended"] for r in reports),

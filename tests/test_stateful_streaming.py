@@ -182,6 +182,48 @@ def test_streaming_curation_matches_batch_and_is_idempotent(spark, tmp_path):
     assert wh.current_snapshot_id() == snap_before
 
 
+def test_streaming_curation_periodic_compaction(spark, tmp_path):
+    """compact_every=2 folds the warehouse inside the stream's writer
+    slot: after 4 appending micro-batches the manifest references ONE
+    directory per table (2 batches appended post-compaction, compacted
+    again at batch 4), read-back values are unchanged, and the report
+    rows record the compaction snapshots."""
+    from ocr_translate_spark.curate import CURATED_TABLE
+    from ocr_translate_spark.io.tables import open_warehouse
+    from ocr_translate_spark.streaming.curate_stream import run_curation_stream
+
+    def sentence(i, n=30):
+        words = []
+        for j in range(n):
+            words.append(["the", "quick", "brown", "fox", "jumps", "over",
+                          "and", "lazy", "dog", f"topic{i}w{j}"][j % 10])
+        return " ".join(words)
+
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir)
+    now = time.time()
+    for b in range(4):
+        pdf = pd.DataFrame(
+            [(100 * b + i, sentence(100 * b + i)) for i in range(5)],
+            columns=["doc_id", "text"],
+        )
+        path = os.path.join(docs_dir, f"batch-{b:02d}.parquet")
+        pdf.to_parquet(path)
+        os.utime(path, (now - 80 + 20 * b, now - 80 + 20 * b))
+
+    wh_root = str(tmp_path / "wh")
+    reports = run_curation_stream(
+        spark, docs_dir, wh_root, min_words=10, scrub=False, compact_every=2,
+    )
+    assert [r["n_appended"] for r in reports] == [5, 5, 5, 5]
+    compactions = [r for r in reports if "compacted_snapshot_id" in r]
+    assert len(compactions) == 2
+    wh = open_warehouse(spark, wh_root)
+    dirs = wh._manifest(wh.current_snapshot_id())["tables"]
+    assert all(len(v) == 1 for v in dirs.values()), dirs
+    assert wh.read(spark, CURATED_TABLE).count() == 20
+
+
 def test_streaming_curation_cross_batch_host_quota(spark, tmp_path):
     """--stream + --max-per-host end to end: the url column must survive
     the sink's projection so the quota/blocklist stage sees it, and the

@@ -292,3 +292,200 @@ def pack_documents(
         F.floor(F.greatest(start + F.col("n_tokens") - 1, start) / capacity)
         .cast("long").alias("last_bin"),
     )
+
+
+# ---------------------------------------------------------------------
+# span-level exact-substring excision (round 6)
+# ---------------------------------------------------------------------
+
+def excise_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Duplicated-PASSAGE removal (the span-level counterpart of document
+    dedup, after Lee et al. 2022's exact-substring dedup): every word
+    position covered by an ``n``-word gram that occurs at least
+    ``min_count`` times ANYWHERE in the corpus (other documents or the
+    same one) is excised; the survivors are re-joined into cleaned text.
+    Document dedup drops whole near-copies — this removes the verbatim
+    boilerplate/quotation spans that survive it.
+
+    Detection is case-insensitive (grams over lowercased words); excision
+    preserves the original casing of kept words.  Rebuilt text is
+    single-space joined (word-level ops normalize whitespace, like
+    chunk_documents).
+
+    Returns ``(id, n_words, n_removed, cleaned)`` for EVERY input row
+    (fully-excised or empty docs keep ``cleaned = ''``).
+
+    Scale design: the reference implementation of this idea builds a
+    corpus-wide suffix array; the gram-anchored form here needs only
+    (a) one groupBy on 60-bit gram hashes (8-byte keys, text never rides
+    the shuffle), (b) one equi-join of occurrences against the duplicated
+    grams, and (c) per-document reassembly — all key-partitioned and
+    linear in corpus size, with spans shorter than ``n`` words the
+    accepted blind spot.  Within-doc gram repeats count toward
+    ``min_count`` (a doc repeating its own paragraph gets both copies
+    excised).
+    """
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+", -1), lambda x: x != F.lit("")
+    )
+    d = (
+        df.select(F.col(id_col).alias("id"), words.alias("_w"))
+        .withColumn("_wl", F.transform(F.col("_w"), F.lower))
+        .withColumn("_nw", F.size("_w").cast("long"))
+    )
+    # gram occurrences WITH multiplicity: (id, start position, gram hash)
+    starts = F.when(
+        F.col("_nw") >= n, F.sequence(F.lit(0), (F.col("_nw") - n).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(F.col("_wl"), i + 1, n))), 1, 15
+                ),
+                16, 10,
+            ).cast("long").alias("gram"),
+        ),
+    )
+    occ = d.select("id", F.explode(grams).alias("g")).select(
+        "id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+    )
+    dup_grams = (
+        occ.groupBy("gram")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("gram")
+    )
+    covered = (
+        occ.join(dup_grams, "gram")
+        .select("id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("p"))
+        .distinct()
+    )
+    positions = d.select(
+        "id", F.posexplode(F.col("_w")).alias("p", "word")
+    )
+    kept = (
+        positions.join(covered, ["id", "p"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("_n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("_cleaned"),
+        )
+    )
+    return (
+        d.select("id", "_nw")
+        .join(kept, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("_nw").alias("n_words"),
+            (F.col("_nw") - F.coalesce(F.col("_n_kept"), F.lit(0))).cast("long").alias("n_removed"),
+            F.coalesce(F.col("_cleaned"), F.lit("")).alias("cleaned"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# quality tiering + temperature-balanced keep quotas (round 6)
+# ---------------------------------------------------------------------
+
+def approx_tier_bounds(
+    df: DataFrame, quality_col: str = "quality", n_tiers: int = 4,
+    relative_error: float = 0.001,
+) -> list[float]:
+    """Descending tier cutoffs from distributed approximate quantiles
+    (Greenwald-Khanna via ``approxQuantile``) — the 100 TB tiering path:
+    one sketch pass, then tier assignment is a narrow map."""
+    qs = [1.0 - i / n_tiers for i in range(1, n_tiers)]
+    bounds = df.approxQuantile(quality_col, qs, relative_error)
+    return sorted(bounds, reverse=True)
+
+
+def quality_tiers(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    group_col: str | None = None,
+    n_tiers: int = 4,
+    quota_coeff: float = 8.0,
+    tier_bounds: list[float] | None = None,
+    salt_shards: int | None = 16,
+) -> DataFrame:
+    """Quality-TIER extraction with temperature-balanced keep quotas —
+    the standard "bucket the corpus by quality, then rebalance what you
+    keep per group" selection stage (FineWeb-style quality buckets x
+    XLM-R-style alpha-temperature sampling).
+
+    Tier assignment: ``tier_bounds=None`` uses an exact ``ntile`` over
+    ``(quality DESC, id)`` — a GLOBAL window, correct for bounded slices
+    (per-shard tiering, test/bench scale) but single-task at crawl scale;
+    pass :func:`approx_tier_bounds` output for the distributed path
+    (narrow threshold map, no shuffle).  Tier 1 is the best quality.
+
+    Keep quota per ``(tier, group)``: with group size ``m``, quota =
+    ``min(m, floor(quota_coeff * sqrt(m)))`` — the alpha = 0.5 temperature
+    curve (big groups are downsampled proportionally harder), in
+    bit-exact arithmetic (integer -> IEEE sqrt -> floor, no cross-group
+    normalization sum whose float fold order could differ across
+    engines).  WHICH rows fill the quota is a deterministic portable
+    md5-rank lottery, computed with the same two-level salted window
+    trick as urls.host_rank: rank within ``(tier, group, salt)`` shards,
+    prune to the shard-local quota (lossless — a global top-quota row is
+    in its shard's top-quota), then re-rank the bounded survivors.
+
+    Returns every input row with ``(tier, group_n, quota, keep)``.
+    """
+    from pyspark.sql import Window
+
+    group = F.col(group_col) if group_col else F.lit("")
+    if tier_bounds is None:
+        wt = Window.orderBy(F.col(quality_col).desc(), F.col(id_col))
+        tiered = df.withColumn("tier", F.ntile(n_tiers).over(wt).cast("long"))
+    else:
+        t = F.lit(1)
+        for b in tier_bounds:
+            t = t + F.when(F.col(quality_col) < b, 1).otherwise(0)
+        tiered = df.withColumn("tier", t.cast("long"))
+    tiered = tiered.withColumn("_grp", group)
+    counts = tiered.groupBy("tier", "_grp").agg(F.count("*").alias("group_n"))
+    quota = F.least(
+        F.col("group_n"),
+        F.floor(F.lit(float(quota_coeff)) * F.sqrt(F.col("group_n").cast("double"))),
+    ).cast("long")
+    sized = tiered.join(counts.withColumn("quota", quota), ["tier", "_grp"])
+    rkey = F.md5(F.col(id_col).cast("string"))
+    order = [rkey, F.col(id_col)]
+    if salt_shards and salt_shards > 1:
+        salt = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit("qt")), F.lit(salt_shards))
+        w1 = Window.partitionBy("tier", "_grp", salt).orderBy(*order)
+        sized_pruned = (
+            sized.withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= F.col("quota"))
+            .drop("_rn1")
+        )
+    else:
+        sized_pruned = sized
+    w2 = Window.partitionBy("tier", "_grp").orderBy(*order)
+    kept_ids = (
+        sized_pruned.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= F.col("quota"))
+        .select(F.col(id_col).alias("_keep_id"))
+    )
+    return (
+        sized.join(kept_ids, sized[id_col] == kept_ids["_keep_id"], "left")
+        .withColumn("keep", F.col("_keep_id").isNotNull())
+        .drop("_keep_id", "_grp")
+    )

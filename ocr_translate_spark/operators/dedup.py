@@ -757,3 +757,195 @@ def decontaminate(
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# connected components / dedup-cluster resolution (round 6)
+# ---------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components by alternating large-star /
+    small-star (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond") — the standard O(log n)-round label collapse for web-scale
+    graphs, expressed entirely as DataFrame aggregates and joins.
+
+    Input: an edge list with two long columns; direction, self-loops and
+    duplicates are irrelevant.  Output: ``(node, component)`` for every
+    node incident to at least one edge, where ``component`` is the MINIMUM
+    node id of the node's connected component (callers union isolated
+    nodes back as their own singletons).
+
+    Scale design: neither star ever materializes a neighborhood list —
+    each round is ``groupBy(min)`` + an equi-join back to the edges (both
+    partial-aggregated, both AQE-skew-splittable), so a hub node of degree
+    10^8 is a big *partition*, not a big *row*.  Each round the edge set
+    contracts toward stars rooted at component minima; the per-round
+    ``localCheckpoint`` truncates the iterative lineage (on a cluster,
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` is the
+    durable form).  Convergence is detected by an exact edge-set checksum
+    (count + sum of row hashes), one cheap action per round.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: for every node u, connect each strictly-larger
+        # neighbor to min(N(u) ∪ {u})
+        b = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        mins = b.groupBy("s").agg(F.min("d").alias("mn"))
+        large = (
+            b.join(mins, "s")
+            .filter(F.col("d") > F.col("s"))
+            .select(
+                F.col("d").alias("s"),
+                F.least(F.col("mn"), F.col("s")).alias("d"),
+            )
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+        )
+        # small-star: orient edges max -> min, connect each small neighbor
+        # (and u itself) to the minimum
+        h = large.select(
+            F.greatest(F.col("s"), F.col("d")).alias("s"),
+            F.least(F.col("s"), F.col("d")).alias("d"),
+        )
+        mins2 = h.groupBy("s").agg(F.min("d").alias("mn"))
+        small = (
+            h.join(mins2, "s")
+            .select(F.col("d").alias("a"), F.col("mn").alias("b"))
+            .union(mins2.select(F.col("s").alias("a"), F.col("mn").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("s"), F.col("b").alias("d"))
+            .distinct()
+        )
+        nxt = small.localCheckpoint()
+        # bit_xor: overflow-free (ANSI-safe) order-independent checksum of
+        # the DISTINCT edge set
+        sig = nxt.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(s, d))"), F.lit(0)).alias("x"),
+        ).collect()[0]
+        sig = (sig["n"], sig["x"])
+        e.unpersist()
+        e = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # e is now a star forest (child, root): label children, roots label
+    # themselves
+    return (
+        e.select(F.col("s").alias("node"), F.col("d").alias("component"))
+        .union(e.select(F.col("d").alias("node"), F.col("d").alias("component")))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def shared_gram_components(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 16,
+    max_gram_df: int = 50,
+) -> DataFrame:
+    """Verbatim-passage FAMILIES: connected components of the "shares an
+    exact ``n``-word gram" relation (the transitive closure of
+    :func:`shared_ngram_pairs`) — quote networks, mirrored boilerplate
+    families, syndicated-article clusters.
+
+    Returns ``(id, cluster)`` for EVERY input document, ``cluster`` being
+    the minimum member id (docs sharing no gram are their own cluster).
+
+    Scale design: components run on the BIPARTITE doc <-> gram graph
+    (node encoding: doc id*2, gram hash*2+1), which is linear in gram
+    occurrences — the doc-doc pair graph is never materialized, so a gram
+    shared by k documents contributes k edges, not O(k^2) pairs.  Grams
+    with document frequency 1 pin nothing and are pruned; grams hotter
+    than ``max_gram_df`` are dropped exactly like shared_ngram_pairs'
+    cap (site-wide boilerplate belongs to line-dedup, not pairing).  The
+    component minimum over mixed nodes is always a doc node (doc ids are
+    even and small; gram nodes odd and ~2^60), so doc labels decode as
+    ``component / 2``.
+    """
+    g = _word_gram_table(df, id_col, text_col, n)
+    keep = (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_gram_df))
+        .select("gram")
+    )
+    edges = g.join(keep, "gram").select(
+        (F.col("id") * 2).alias("src"),
+        (F.col("gram") * 2 + 1).alias("dst"),
+    )
+    labels = connected_components(edges)
+    doc_labels = labels.filter(F.col("node") % 2 == 0).select(
+        F.shiftright(F.col("node"), 1).cast("long").alias(id_col),
+        F.shiftright(F.col("component"), 1).cast("long").alias("cluster"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(doc_labels, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster"),
+        )
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 16,
+    max_gram_df: int = 50,
+    rep_order: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster-resolved dedup: group documents into verbatim-passage
+    families (:func:`shared_gram_components`) and elect ONE representative
+    per cluster — by default the longest member (the "keep the most
+    complete version" curation policy), ties to the smallest id.
+
+    Returns ``(id, cluster, is_rep)`` for every document.  Filtering
+    ``is_rep`` keeps exactly one doc per family — the cluster analogue of
+    curate_corpus's greedy keep-first policy, collapsing transitive
+    chains in a single resolution instead of per-pair drops.
+
+    ``rep_order``: optional ``(id, score)`` DataFrame; when given, the
+    representative is the max-score member (ties to min id) — e.g. a
+    quality score from textstats.
+
+    Scale design: representative election is an aggregate
+    (``max(struct(score, -id))`` per cluster — partial-aggregated,
+    skew-safe), never a per-cluster window sort.
+    """
+    labels = shared_gram_components(df, id_col, text_col, n, max_gram_df)
+    if rep_order is None:
+        scored = df.select(
+            F.col(id_col), F.length(F.col(text_col)).cast("long").alias("_score")
+        )
+    else:
+        scored = rep_order.select(
+            F.col(id_col), F.col("score").cast("long").alias("_score")
+        )
+    member = labels.join(scored, id_col)
+    reps = member.groupBy("cluster").agg(
+        F.max(F.struct(F.col("_score"), (-F.col(id_col)).alias("_negid"))).alias("_m")
+    ).select("cluster", (-F.col("_m._negid")).cast("long").alias("_rep_id"))
+    return (
+        labels.join(reps, "cluster")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            (F.col(id_col) == F.col("_rep_id")).alias("is_rep"),
+        )
+    )

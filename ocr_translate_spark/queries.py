@@ -1215,6 +1215,113 @@ def q_restore_spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("tokens")[0].alias("repaired"))
 
 
+# ---------------------------------------------------------------------
+# round-6 additions: cluster-resolved dedup, span excision, quality tiers,
+# plus the round-6 registry folds (normalize battery, trie ops)
+# ---------------------------------------------------------------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-RESOLVED dedup (round 6): connected components of the
+    shared-16-gram relation via alternating large-star/small-star on the
+    bipartite doc<->gram graph (dedup.connected_components — the doc-doc
+    pair graph is never materialized), then one representative per family
+    by the keep-the-longest policy.  The DuckDB oracle replays the exact
+    same graph (portable 60-bit md5 gram hashes, df cap 2..50) and labels
+    it with a WITH RECURSIVE transitive closure, so the iterative Spark
+    algorithm is value-checked against a from-first-principles closure."""
+    docs = load(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
+    return dedup.dedup_clusters(docs, "doc_id", "text", n=16, max_gram_df=50).select(
+        "doc_id", "cluster", "is_rep"
+    )
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring EXCISION (round 6, after Lee et al.
+    2022): word positions covered by any 8-gram occurring >= 2 times in
+    the corpus are removed and the survivors re-joined — the passage-level
+    complement of document dedup.  Natural repetition in the testdata
+    (planted near-dup tails) gives nonzero excision; the oracle rebuilds
+    the cleaned text position-by-position in SQL."""
+    from .operators import curation
+
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    return curation.excise_dup_spans(docs, "doc_id", "text", n=8, min_count=2)
+
+
+def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-TIER extraction with temperature-balanced keep quotas
+    (round 6): the battery's unrounded quality heuristic -> exact ntile(4)
+    tiers (tier 1 best) -> per-(tier, lang) keep quota
+    min(m, floor(3*sqrt(m))) (the alpha=0.5 temperature curve in bit-exact
+    arithmetic) -> deterministic portable-md5 rank lottery, computed with
+    the same two-level salted window as urls.host_rank."""
+    from .operators import curation
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+", -1), lambda x: x != F.lit("")
+    )
+    d = docs.select("doc_id", "lang", "text", words.alias("_w"))
+    n = F.length("text").cast("double")
+    punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(textstats.PUNCT_REGEX), F.lit(0))
+    ).cast("double")
+    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("double")
+    stops = F.size(
+        F.filter(F.col("_w"), lambda x: x.isin(*textstats.LANG_MARKERS["en"]))
+    ).cast("double")
+    total = F.size("_w").cast("double")
+    len_ok = F.when(n >= 200, F.lit(1.0)).otherwise(n / 200.0)
+    punct_pen = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0)) * 4.0,
+    )
+    stop_sig = F.least(
+        F.lit(1.0), F.when(total > 0, stops / total).otherwise(F.lit(0.0)) * 10.0
+    )
+    scored = d.select(
+        "doc_id", "lang", ((len_ok + punct_pen + stop_sig) / 3.0).alias("quality")
+    )
+    out = curation.quality_tiers(
+        scored, id_col="doc_id", quality_col="quality", group_col="lang",
+        n_tiers=4, quota_coeff=3.0,
+    )
+    return out.select("doc_id", "lang", "quality", "tier", "group_n", "quota", "keep")
+
+
+def q_normalize_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folded normalize battery (r6 registry fold, SURVEY §10): the former
+    ``normalize_dash`` + ``tokenize_breakchars`` + ``nospace_cleanup``
+    queries as ONE narrow pass — dash-newline restore, break-char token
+    counting and no-space-language cleanup from a single scan."""
+    from .operators.normalize import strip_nospace_lang_col
+
+    docs = load(spark, sf_dir, "documents")
+    dashed = F.regexp_replace(F.col("text"), r"^([^ ]*) ", "$1-\n")
+    toks = F.filter(F.split(F.col("text"), r"[e\.+]", -1), lambda x: x != F.lit(""))
+    return docs.select(
+        "doc_id",
+        "lang",
+        restore_dash_newlines_col(dashed).alias("restored"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        strip_nospace_lang_col(F.col("text"), F.col("lang")).alias("cleaned"),
+    )
+
+
+def q_trie_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folded trie battery (r6 registry fold, SURVEY §10): the former
+    ``trie_autocomplete`` + ``trie_autocorrect`` queries unioned under an
+    ``op`` discriminator; both kernel-parity asserts still run inside."""
+    ac = q_trie_autocomplete(spark, sf_dir).select(
+        F.lit("complete").alias("op"), F.col("prefix").alias("probe"),
+        "word", "freq", "rank",
+    )
+    co = q_trie_autocorrect(spark, sf_dir).select(
+        F.lit("correct").alias("op"), "probe", "word", "freq", "rank"
+    )
+    return ac.unionByName(co)
+
+
 QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registration order is the driver's evaluation order and the driver
     # samples a bounded prefix (round 3: first 50 of 60).  The registry is
@@ -1223,10 +1330,16 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # their machinery is certified by the oracled degenerate configs
     # embedding_lsh_onebucket / embedding_ivf_topk_fullprobe above them).
     # Entries least recently driver-checked or rewritten this round
-    # lead, so a shorter sample still covers them.  r5: token_counts +
-    # quality_score + repetition_stats folded into textstat_battery
-    # (freeing two slots), url_normalize + pq_fullrank registered —
-    # the three never-driver-checked entries lead.
+    # lead, so a shorter sample still covers them.  r6: normalize_dash +
+    # tokenize_breakchars + nospace_cleanup folded into normalize_battery
+    # and trie_autocomplete + trie_autocorrect into trie_ops (freeing
+    # three slots) for the three new round-6 operators — cluster-resolved
+    # dedup (connected components), span-level excision, quality tiers.
+    "dedup_clusters": q_dedup_clusters,
+    "span_dedup": q_span_dedup,
+    "quality_tiers": q_quality_tiers,
+    "normalize_battery": q_normalize_battery,
+    "trie_ops": q_trie_ops,
     "textstat_battery": q_textstat_battery,
     "url_normalize": q_url_normalize,
     "pq_fullrank": q_pq_fullrank,
@@ -1236,8 +1349,6 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_code_map": q_lang_code_map,
     "reading_order_sql": q_reading_order_sql,
     "enrich_text": q_enrich_text,
-    "trie_autocomplete": q_trie_autocomplete,
-    "trie_autocorrect": q_trie_autocorrect,
     "restore_spaces": q_restore_spaces,
     "ranked_sources": q_ranked_sources,
     "suppliers_per_nation_having": q_suppliers_per_nation_having,
@@ -1246,9 +1357,6 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
     "extract_corpus": q_extract_corpus,
     "host_stats": q_host_stats,
-    "normalize_dash": q_normalize_dash,
-    "tokenize_breakchars": q_tokenize_breakchars,
-    "nospace_cleanup": q_nospace_cleanup,
     "lang_id": q_lang_id,
     "rolling_fingerprint": q_rolling_fingerprint,
     "chunk_documents": q_chunk_documents,
@@ -1308,21 +1416,112 @@ ORACLE_SQL: dict[str, str] = {
     "extract_pdf_roundtrip": (
         "SELECT doc_id, text AS extracted_text, 'pdf' AS payload_kind FROM documents"
     ),
-    "normalize_dash": (
-        "SELECT doc_id, regexp_replace("
+    "normalize_battery": (
+        "SELECT doc_id, lang, "
+        "regexp_replace("
         "  regexp_replace(text, '^([^ ]*) ', '\\1-' || chr(10)),"
-        "  '([^' || chr(10) || '])- *' || chr(10), '\\1', 'g') AS restored "
-        "FROM documents"
-    ),
-    "tokenize_breakchars": (
-        "SELECT doc_id, CAST(len(list_filter("
-        "string_split_regex(text, '[e\\.+]'), x -> x <> '')) AS BIGINT) AS n_tokens "
-        "FROM documents"
-    ),
-    "nospace_cleanup": (
-        "SELECT doc_id, lang, CASE WHEN lang IN ('ja','zh','zht','lo','my') "
+        "  '([^' || chr(10) || '])- *' || chr(10), '\\1', 'g') AS restored, "
+        "CAST(len(list_filter("
+        "string_split_regex(text, '[e\\.+]'), x -> x <> '')) AS BIGINT) AS n_tokens, "
+        "CASE WHEN lang IN ('ja','zh','zht','lo','my') "
         "THEN replace(text, ' ', '') ELSE text END AS cleaned FROM documents"
     ),
+    # round 6: the iterative large-star/small-star component labels are
+    # value-checked against a from-first-principles WITH RECURSIVE
+    # transitive closure over the identical bipartite doc<->gram graph
+    # (portable 60-bit md5 gram hashes, df cap 2..50, node encoding
+    # doc*2 / gram*2+1)
+    "dedup_clusters": r"""
+        WITH RECURSIVE
+        d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                x -> x <> '') AS wl FROM documents),
+        occ AS (SELECT doc_id, unnest(range(0, len(wl) - 15)) AS i, wl FROM d),
+        g0 AS (SELECT DISTINCT doc_id,
+                 CAST(('0x' || substr(md5(array_to_string(wl[i+1:i+16], ' ')), 1, 15))
+                      AS BIGINT) AS gram
+               FROM occ),
+        keep AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) BETWEEN 2 AND 50),
+        e AS (SELECT doc_id*2 AS a, gram*2+1 AS b FROM g0 JOIN keep USING (gram)),
+        bi AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        reach AS (
+          SELECT a AS n, a AS r FROM bi
+          UNION
+          SELECT reach.n, bi.b FROM reach JOIN bi ON reach.r = bi.a
+        ),
+        lab AS (SELECT CAST(n // 2 AS BIGINT) AS doc_id,
+                       CAST(min(r) // 2 AS BIGINT) AS cluster
+                FROM reach WHERE n % 2 = 0 GROUP BY n),
+        all_docs AS (SELECT documents.doc_id,
+                       coalesce(lab.cluster, documents.doc_id) AS cluster,
+                       CAST(length(text) AS BIGINT) AS score
+                     FROM documents LEFT JOIN lab USING (doc_id)),
+        reps AS (SELECT cluster, doc_id AS rep_id,
+                   row_number() OVER (PARTITION BY cluster
+                     ORDER BY score DESC, doc_id) AS rn
+                 FROM all_docs)
+        SELECT a.doc_id, a.cluster, (a.doc_id = r.rep_id) AS is_rep
+        FROM all_docs a
+        JOIN (SELECT cluster, rep_id FROM reps WHERE rn = 1) r USING (cluster)
+    """,
+    # round 6: position-by-position SQL rebuild of the excised text
+    "span_dedup": r"""
+        WITH
+        d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                x -> x <> '') AS w FROM documents),
+        dl AS (SELECT doc_id, w, list_transform(w, x -> lower(x)) AS wl,
+                      CAST(len(w) AS BIGINT) AS nw FROM d),
+        occ AS (SELECT doc_id, unnest(range(0, nw - 7)) AS i, wl FROM dl),
+        g AS (SELECT doc_id, i,
+                CAST(('0x' || substr(md5(array_to_string(wl[i+1:i+8], ' ')), 1, 15))
+                     AS BIGINT) AS gram
+              FROM occ),
+        c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        dup AS (SELECT doc_id, i FROM g JOIN c USING (gram)),
+        cov AS (SELECT DISTINCT doc_id, unnest(range(i, i+8)) AS p FROM dup),
+        pos AS (SELECT doc_id, unnest(range(0, nw)) AS p, w FROM dl),
+        kept AS (SELECT pos.doc_id, pos.p, pos.w[pos.p+1] AS word
+                 FROM pos ANTI JOIN cov
+                   ON pos.doc_id = cov.doc_id AND pos.p = cov.p),
+        k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                     string_agg(word, ' ' ORDER BY p) AS cleaned
+              FROM kept GROUP BY doc_id)
+        SELECT dl.doc_id, nw AS n_words,
+               nw - coalesce(k.n_kept, 0) AS n_removed,
+               coalesce(k.cleaned, '') AS cleaned
+        FROM dl LEFT JOIN k USING (doc_id)
+    """,
+    # round 6: unrounded battery quality -> ntile tiers -> sqrt
+    # temperature quota -> portable md5 lottery (all bit-exact arithmetic)
+    "quality_tiers": f"""
+        WITH s AS (SELECT doc_id, lang, text, {_WORDS} AS w FROM documents),
+        q AS (SELECT doc_id, lang,
+          CAST(length(text) AS DOUBLE) AS n,
+          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct,
+          CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nonspace,
+          CAST(len(list_filter(w, x -> x IN ('the','a','is','of','and'))) AS DOUBLE) AS stops,
+          CAST(len(w) AS DOUBLE) AS toks
+          FROM s),
+        qs AS (SELECT doc_id, lang,
+          ((CASE WHEN n >= 200 THEN 1.0 ELSE n/200.0 END) +
+            greatest(0.0, 1.0 - (CASE WHEN nonspace > 0 THEN punct/nonspace ELSE 0.0 END)*4.0) +
+            least(1.0, (CASE WHEN toks > 0 THEN stops/toks ELSE 0.0 END)*10.0)) / 3.0 AS quality
+          FROM q),
+        t AS (SELECT doc_id, lang, quality,
+                CAST(ntile(4) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS tier
+              FROM qs),
+        c AS (SELECT tier, lang, CAST(count(*) AS BIGINT) AS group_n
+              FROM t GROUP BY tier, lang),
+        qq AS (SELECT tier, lang, group_n,
+                least(group_n,
+                      CAST(floor(3.0 * sqrt(CAST(group_n AS DOUBLE))) AS BIGINT)) AS quota
+               FROM c),
+        r AS (SELECT t.doc_id, t.lang, t.quality, t.tier, qq.group_n, qq.quota,
+                row_number() OVER (PARTITION BY t.tier, t.lang
+                  ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id) AS rn
+              FROM t JOIN qq ON t.tier = qq.tier AND t.lang = qq.lang)
+        SELECT doc_id, lang, quality, tier, group_n, quota, (rn <= quota) AS keep
+        FROM r
+    """,
     "lang_id": f"""
         WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
         c AS (SELECT doc_id,
@@ -1787,33 +1986,30 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, '[' || lang || '->en] ' || text AS enriched_text "
         "FROM documents"
     ),
-    "trie_autocomplete": f"""
+    "trie_ops": f"""
         WITH v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
             SELECT unnest({_WORDS}) AS word FROM documents) GROUP BY word
             ORDER BY freq DESC, word LIMIT 50000),
-        p AS (SELECT unnest(['s','c','m','b']) AS prefix),
-        j AS (SELECT prefix, word, freq,
+        pre AS (SELECT unnest(['s','c','m','b']) AS prefix),
+        jc AS (SELECT prefix, word, freq,
                 row_number() OVER (PARTITION BY prefix
                   ORDER BY freq DESC, word) AS rank
-              FROM v JOIN p ON v.word LIKE p.prefix || '%')
-        SELECT prefix, word, freq, CAST(rank AS BIGINT) AS rank
-        FROM j WHERE rank <= 10
-    """,
-    "trie_autocorrect": f"""
-        WITH v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-            SELECT unnest({_WORDS}) AS word FROM documents) GROUP BY word
-            ORDER BY freq DESC, word LIMIT 50000),
+              FROM v JOIN pre ON v.word LIKE pre.prefix || '%'),
         top3 AS (SELECT word FROM v WHERE length(word) >= 2
                  ORDER BY freq DESC, word LIMIT 3),
         p AS (SELECT DISTINCT probe FROM (
               SELECT substr(word, 1, length(word)-1) AS probe FROM top3
               UNION ALL
               SELECT substr(word, 1, length(word)-1) || '~' FROM top3)),
-        j AS (SELECT probe, word, freq,
+        ja AS (SELECT probe, word, freq,
                 row_number() OVER (PARTITION BY probe
                   ORDER BY freq DESC, word) AS rank
               FROM p JOIN v ON levenshtein(p.probe, v.word) = 1)
-        SELECT probe, word, freq, CAST(rank AS BIGINT) AS rank FROM j
+        SELECT 'complete' AS op, prefix AS probe, word, freq,
+               CAST(rank AS BIGINT) AS rank FROM jc WHERE rank <= 10
+        UNION ALL
+        SELECT 'correct' AS op, probe, word, freq,
+               CAST(rank AS BIGINT) AS rank FROM ja
     """,
     "restore_spaces": r"""
         WITH w AS (SELECT doc_id, list_filter(

@@ -46,6 +46,11 @@ BENCH_QUERIES = (
     "url_normalize",
     "events_windowed",
     "sessionize",
+    # round 6: cluster-resolved dedup (iterative CC), span excision,
+    # threshold-path quality tiering
+    "dedup_clusters",
+    "span_dedup",
+    "quality_tiers",
 )
 
 

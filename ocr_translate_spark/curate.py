@@ -697,3 +697,100 @@ def read_curated(
     if split is not None:
         df = df.filter(F.col("split") == split)
     return df
+
+
+# ---------------------------------------------------------------------
+# tier extraction: quality-bucketed, temperature-balanced corpus slices
+# ---------------------------------------------------------------------
+
+def tiered_select(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    quality_col: "str | None" = None,
+    group_col: "str | None" = None,
+    n_tiers: int = 4,
+    quota_coeff: float = 8.0,
+    span_excise_n: "int | None" = None,
+    min_words: int = 20,
+    distributed_bounds: bool = True,
+    relative_error: float = 1e-3,
+) -> "tuple[DataFrame, dict]":
+    """Tier EXTRACTION over a curated corpus: the selection stage that
+    turns "everything that survived curation" into "quality-bucketed,
+    temperature-balanced training slices" (FineWeb-style buckets x
+    XLM-R-style alpha=0.5 group rebalancing).
+
+    Composition (each piece is its own oracled §2 operator; this
+    function only chains them):
+
+    1. optional span excision (``span_excise_n``): verbatim passages
+       duplicated corpus-wide are cut out of the surviving text
+       (operators.curation.excise_dup_spans) and the post-excision
+       length gate re-applied — document dedup upstream removed whole
+       near-copies; this removes the boilerplate spans that survived it.
+    2. quality: ``quality_col`` if the caller scored docs already, else
+       textstats.quality_score (narrow map).
+    3. tiering: ``distributed_bounds=True`` (default) takes one
+       Greenwald-Khanna ``approxQuantile`` sketch pass for the cutoffs,
+       then tier assignment is a shuffle-free threshold map — the
+       100 TB path.  ``False`` uses the exact global ``ntile`` (bounded
+       slices only: single-task window).
+    4. per-(tier, group) keep quotas ``min(m, floor(c*sqrt(m)))`` filled
+       by the deterministic salted-window md5 lottery
+       (operators.curation.quality_tiers).
+
+    Returns ``(out, report)``: ``out`` is every surviving row with
+    ``(tier, group_n, quota, keep)`` appended — write the extraction as
+    ``out.filter("keep").write.partitionBy("tier")...`` so downstream
+    jobs prune to the tiers they train on; ``report`` carries
+    ``n_input`` / ``n_after_excise`` / ``tier_bounds`` and the
+    per-tier (total, kept) histogram (one aggregate action).
+    """
+    report: dict = {}
+    report["n_input"] = df.count()
+
+    if span_excise_n:
+        cleaned = curation.excise_dup_spans(
+            df, id_col, text_col, n=span_excise_n
+        ).select(
+            F.col(id_col),
+            F.col("cleaned").alias(text_col),
+            (F.col("n_words") - F.col("n_removed")).alias("_kept_words"),
+        )
+        other_cols = [c for c in df.columns if c != text_col]
+        df = (
+            df.select(*other_cols)
+            .join(cleaned, id_col)
+            .filter(F.col("_kept_words") >= min_words)
+            .drop("_kept_words")
+        )
+        report["n_after_excise"] = df.count()
+
+    qcol = quality_col
+    if qcol is None:
+        qcol = "_quality"
+        df = df.withColumn(qcol, textstats.quality_score(F.col(text_col)))
+
+    bounds = None
+    if distributed_bounds:
+        bounds = curation.approx_tier_bounds(
+            df, qcol, n_tiers=n_tiers, relative_error=relative_error
+        )
+    report["tier_bounds"] = bounds
+    out = curation.quality_tiers(
+        df, id_col=id_col, quality_col=qcol, group_col=group_col,
+        n_tiers=n_tiers, quota_coeff=quota_coeff, tier_bounds=bounds,
+    )
+    if quality_col is None:
+        out = out.drop("_quality")
+    hist = {
+        int(r["tier"]): (int(r["n"]), int(r["kept"]))
+        for r in out.groupBy("tier").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+        ).collect()
+    }
+    report["tiers"] = dict(sorted(hist.items()))
+    return out, report

@@ -789,6 +789,14 @@ def connected_components(
     ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` is the
     durable form).  Convergence is detected by an exact edge-set checksum
     (count + sum of row hashes), one cheap action per round.
+
+    Lifecycle: the returned labels are backed by the FINAL round's local
+    checkpoint (intermediate rounds are unpersisted as they retire) —
+    it stays pinned while the result is referenced and the
+    ContextCleaner releases it once the caller drops the DataFrame; it
+    is checkpoint storage, not a catalog cache, so
+    ``spark.catalog.clearCache()`` does not (and must not — evicting a
+    local checkpoint breaks its lineage-truncated plan) release it.
     """
     e = (
         edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))

@@ -198,6 +198,117 @@ def main() -> int:
     results["line_dedup"] = time.monotonic() - t0
     assert n_stripped == n_docs, (n_stripped, n_docs)
 
+    # --- connected components at 200k nodes (round 6) -----------------
+    # synthetic graph with closed-form structure: 2000 chains of 100
+    # nodes (worst-case diameter for label propagation) plus one hub of
+    # degree 50k grafted onto chain 0 (the skew case) — component count
+    # and every label are exact expectations, not bounds
+    chain_len, n_chains = 100, 2000
+    base = spark.range(n_chains * chain_len).withColumnRenamed("id", "src")
+    chain_edges = (
+        base.filter(F.pmod(F.col("src"), F.lit(chain_len)) != chain_len - 1)
+        .select("src", (F.col("src") + 1).alias("dst"))
+    )
+    hub = 10_000_000
+    hub_edges = spark.range(50_000).select(
+        F.lit(hub).alias("src"), (F.col("id") + hub + 1).alias("dst")
+    ).union(spark.createDataFrame([(0, hub)], "src long, dst long"))
+    t0 = time.monotonic()
+    labels = dedup.connected_components(
+        chain_edges.union(hub_edges), max_iter=12
+    ).persist()
+    n_nodes = labels.count()
+    results["connected_components"] = time.monotonic() - t0
+    assert n_nodes == n_chains * chain_len + 50_001, n_nodes
+    comp_sizes = {r["component"]: r["n"] for r in
+                  labels.groupBy("component").agg(F.count("*").alias("n")).collect()}
+    # chain 0 merged with the hub star; chains 1..1999 intact
+    assert len(comp_sizes) == n_chains, len(comp_sizes)
+    assert comp_sizes[0] == chain_len + 50_001, comp_sizes[0]
+    assert all(comp_sizes[c * chain_len] == chain_len for c in range(1, n_chains))
+    labels.unpersist()
+
+    # --- cluster-resolved dedup on the 200k text corpus (round 6) -----
+    # natural 16-gram sharing makes the cluster COUNT open-form, so the
+    # asserts are structural and exact: every planted dup lands in its
+    # predecessor's cluster, and every cluster elects exactly one rep
+    t0 = time.monotonic()
+    dc = dedup.dedup_clusters(big, "id", "text", n=16, max_gram_df=50).persist()
+    n_dc = dc.count()
+    results["dedup_clusters"] = time.monotonic() - t0
+    assert n_dc == n_docs, (n_dc, n_docs)
+    planted_long = big.filter(
+        (F.col("is_dup") == 1) & (wcount >= 16)
+    ).select((F.col("id") - 1).alias("id_a"), F.col("id").alias("id_b"))
+    n_long = planted_long.count()
+    co = (
+        planted_long
+        .join(dc.select(F.col("id").alias("id_a"), F.col("cluster").alias("ca")), "id_a")
+        .join(dc.select(F.col("id").alias("id_b"), F.col("cluster").alias("cb")), "id_b")
+        .filter(F.col("ca") == F.col("cb")).count()
+    )
+    assert co == n_long, (co, n_long)
+    bad_reps = (
+        dc.groupBy("cluster").agg(F.sum(F.col("is_rep").cast("int")).alias("r"))
+        .filter(F.col("r") != 1).count()
+    )
+    assert bad_reps == 0, bad_reps
+
+    # --- span excision at 200k docs (round 6) -------------------------
+    # every doc = 24 globally-unique words + one corpus-wide 8-word
+    # footer: the footer gram is the ONLY duplicated 8-gram (straddling
+    # grams contain a unique word), so exactly 8 positions excise per doc
+    span_docs = spark.range(n_docs).select(
+        F.col("id"),
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(24)),
+                    lambda j: F.concat(F.lit("u"), F.col("id"), F.lit("_"), j),
+                ), " "
+            ),
+            F.lit(" probe footer span words alpha beta gamma delta"),
+        ).alias("text"),
+    ).repartition(2 * args.cpus)
+    t0 = time.monotonic()
+    ex = curation.excise_dup_spans(span_docs, "id", "text", n=8).persist()
+    n_ex = ex.count()
+    tot_removed = ex.agg(F.sum("n_removed")).first()[0]
+    results["excise_dup_spans"] = time.monotonic() - t0
+    assert n_ex == n_docs and tot_removed == 8 * n_docs, (n_ex, tot_removed)
+    assert ex.filter(F.col("n_removed") != 8).count() == 0
+    ex.unpersist()
+
+    # --- quality tiering at 200k docs (round 6, threshold path) -------
+    # the distributed path end-to-end: one approxQuantile sketch pass for
+    # bounds, threshold tier map, sqrt-temperature quotas; keep counts
+    # must equal the quota in EVERY (tier, group) cell
+    scored = big.select(
+        "id",
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(10_000)) / 10_000.0).alias("quality"),
+        F.pmod(F.col("id"), F.lit(37)).cast("string").alias("grp"),
+    )
+    t0 = time.monotonic()
+    bounds = curation.approx_tier_bounds(scored, "quality", n_tiers=4)
+    qt = curation.quality_tiers(
+        scored, id_col="id", quality_col="quality", group_col="grp",
+        n_tiers=4, quota_coeff=8.0, tier_bounds=bounds,
+    ).persist()
+    n_qt = qt.count()
+    results["quality_tiers"] = time.monotonic() - t0
+    assert n_qt == n_docs, (n_qt, n_docs)
+    cells = qt.groupBy("tier", "grp").agg(
+        F.count("*").alias("m"), F.first("group_n").alias("gn"),
+        F.first("quota").alias("q"), F.sum(F.col("keep").cast("int")).alias("kept"),
+    ).collect()
+    import math as _math
+    for c in cells:
+        assert c["gn"] == c["m"], (c["tier"], c["grp"], c["gn"], c["m"])
+        assert c["q"] == min(c["m"], _math.floor(8.0 * _math.sqrt(c["m"])))
+        assert c["kept"] == c["q"], (c["tier"], c["grp"], c["kept"], c["q"])
+    qt.unpersist()
+    dc.unpersist()
+
     print(f"gopher passing docs: {n_pass}; minhash candidates: {n_cands} "
           f"(exact {n_exact}); shared-gram pairs: {n_pairs}", flush=True)
     for name, sec in results.items():

@@ -328,3 +328,57 @@ def test_curate_incremental_cross_batch_host_quota(spark, tmp_path):
         max_per_host=4, url_col="doc_id",
     )
     assert rc.n_appended == 1  # 4 - 3 already kept
+
+
+def test_tiered_select_composition(spark):
+    from ocr_translate_spark.curate import tiered_select
+
+    # 40 docs of globally-UNIQUE words (so corpus-wide 6-gram excision
+    # touches nothing but the plant) with length-spread quality; docs
+    # 0/1 share a verbatim 6-word tail (the planted excisable span);
+    # doc 200 is ONLY the shared span and must die at the post-excision
+    # length gate
+    span = "shared verbatim passage tail words here"
+    rows = [(i, " ".join("u%dw%d" % (i, j) for j in range(20 + 2 * i))
+             + (" " + span if i in (0, 1) else ""),
+             "g%d" % (i % 2)) for i in range(40)]
+    rows.append((200, span + " " + span, "g0"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+
+    out, rep = tiered_select(
+        df, group_col="grp", n_tiers=4, quota_coeff=2.0,
+        span_excise_n=6, min_words=15, distributed_bounds=True,
+    )
+    assert rep["n_input"] == 41
+    assert rep["n_after_excise"] == 40          # doc 200 fully excised
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == set(range(40))
+    assert span not in got[0]["text"] and span not in got[1]["text"]
+    assert len(rep["tier_bounds"]) == 3
+    # keep counts equal the sqrt-temperature quota in every cell
+    import math
+    cells: dict[tuple, list[int]] = {}
+    for r in got.values():
+        k = (r["tier"], r["grp"])
+        cells.setdefault(k, [0, 0])
+        cells[k][0] += 1
+        cells[k][1] += int(r["keep"])
+    for (tier, grp), (m, kept) in cells.items():
+        q = min(m, math.floor(2.0 * math.sqrt(m)))
+        assert kept == q, (tier, grp, m, kept, q)
+    # per-tier histogram in the report matches the output
+    assert rep["tiers"] == {
+        t: (sum(m for (tt, _), (m, _k) in cells.items() if tt == t),
+            sum(k for (tt, _), (_m, k) in cells.items() if tt == t))
+        for t in {r["tier"] for r in got.values()}
+    }
+
+    # exact-ntile path on the same corpus: every row still tiered 1..4,
+    # quotas still exact
+    out2, rep2 = tiered_select(
+        df, group_col="grp", n_tiers=4, quota_coeff=2.0,
+        span_excise_n=6, min_words=15, distributed_bounds=False,
+    )
+    assert rep2["tier_bounds"] is None
+    tiers2 = [r["tier"] for r in out2.collect()]
+    assert len(tiers2) == 40 and set(tiers2) == {1, 2, 3, 4}

@@ -869,7 +869,11 @@ def test_operator_persists_are_released_by_clear_cache(spark):
     curation.drop_boilerplate_lines(docs, "doc_id", "text", max_line_frac=0.3).count()
     assert n_cached() == grown
     spark.catalog.clearCache()
-    assert n_cached() == 0
+    # baseline-relative: clearCache owns the catalog-managed operator
+    # caches; RDDs pinned by OTHER machinery in the shared session (e.g.
+    # a connected_components localCheckpoint awaiting ContextCleaner
+    # release from an earlier test file) are out of its jurisdiction
+    assert n_cached() <= base
 
 
 def test_pack_documents_string_ids(spark):

@@ -807,8 +807,18 @@ def connected_components(
     prev_sig = None
     for _ in range(max_iter):
         # large-star: for every node u, connect each strictly-larger
-        # neighbor to min(N(u) ∪ {u})
-        b = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        # neighbor to min(N(u) ∪ {u}).  The symmetric edge set is ONE
+        # explode projection, not a self-union: besides scanning e once
+        # instead of twice, a union whose two children are the same
+        # checkpointed relation shares attribute ids across branches and
+        # trips Catalyst's Union constraint rewrite (NoSuchElementException
+        # in rewriteConstraints — reproduced at the 200k-node probe).
+        b = e.select(
+            F.explode(F.array(
+                F.struct(F.col("s"), F.col("d")),
+                F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
+            )).alias("x")
+        ).select("x.s", "x.d")
         mins = b.groupBy("s").agg(F.min("d").alias("mn"))
         large = (
             b.join(mins, "s")
@@ -821,7 +831,9 @@ def connected_components(
             .distinct()
         )
         # small-star: orient edges max -> min, connect each small neighbor
-        # (and u itself) to the minimum
+        # (and u itself) to the minimum.  The u -> min(u) self-link rides
+        # the same explode (it repeats per h-row of that u; the trailing
+        # distinct collapses it) instead of a second union over mins2.
         h = large.select(
             F.greatest(F.col("s"), F.col("d")).alias("s"),
             F.least(F.col("s"), F.col("d")).alias("d"),
@@ -829,10 +841,14 @@ def connected_components(
         mins2 = h.groupBy("s").agg(F.min("d").alias("mn"))
         small = (
             h.join(mins2, "s")
-            .select(F.col("d").alias("a"), F.col("mn").alias("b"))
-            .union(mins2.select(F.col("s").alias("a"), F.col("mn").alias("b")))
-            .filter(F.col("a") != F.col("b"))
-            .select(F.col("a").alias("s"), F.col("b").alias("d"))
+            .select(
+                F.explode(F.array(
+                    F.struct(F.col("d").alias("a"), F.col("mn").alias("b")),
+                    F.struct(F.col("s").alias("a"), F.col("mn").alias("b")),
+                )).alias("x")
+            )
+            .filter(F.col("x.a") != F.col("x.b"))
+            .select(F.col("x.a").alias("s"), F.col("x.b").alias("d"))
             .distinct()
         )
         nxt = small.localCheckpoint()
@@ -849,10 +865,15 @@ def connected_components(
             break
         prev_sig = sig
     # e is now a star forest (child, root): label children, roots label
-    # themselves
+    # themselves (same single-scan explode form as the loop — see above)
     return (
-        e.select(F.col("s").alias("node"), F.col("d").alias("component"))
-        .union(e.select(F.col("d").alias("node"), F.col("d").alias("component")))
+        e.select(
+            F.explode(F.array(
+                F.struct(F.col("s").alias("node"), F.col("d").alias("component")),
+                F.struct(F.col("d").alias("node"), F.col("d").alias("component")),
+            )).alias("x")
+        )
+        .select("x.node", "x.component")
         .groupBy("node")
         .agg(F.min("component").alias("component"))
     )

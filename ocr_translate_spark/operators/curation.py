@@ -304,6 +304,7 @@ def excise_dup_spans(
     text_col: str = "text",
     n: int = 8,
     min_count: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Duplicated-PASSAGE removal (the span-level counterpart of document
     dedup, after Lee et al. 2022's exact-substring dedup): every word
@@ -330,6 +331,14 @@ def excise_dup_spans(
     accepted blind spot.  Within-doc gram repeats count toward
     ``min_count`` (a doc repeating its own paragraph gets both copies
     excised).
+
+    ``materialize=True`` persists the per-doc word-array table that all
+    four branches of the plan share (gram occurrences, duplicated-gram
+    counts, position explode, final row set) — without it each branch
+    re-scans the source and re-splits the text (four full text scans at
+    corpus scale).  Same cache lifecycle as drop_boilerplate_lines:
+    plan-deduped across invocations, released by
+    ``spark.catalog.clearCache()``.
     """
     words = F.filter(
         F.split(F.col(text_col), r"\s+", -1), lambda x: x != F.lit("")
@@ -339,6 +348,8 @@ def excise_dup_spans(
         .withColumn("_wl", F.transform(F.col("_w"), F.lower))
         .withColumn("_nw", F.size("_w").cast("long"))
     )
+    if materialize:
+        d = d.persist()
     # gram occurrences WITH multiplicity: (id, start position, gram hash)
     starts = F.when(
         F.col("_nw") >= n, F.sequence(F.lit(0), (F.col("_nw") - n).cast("int"))
@@ -423,6 +434,7 @@ def quality_tiers(
     quota_coeff: float = 8.0,
     tier_bounds: list[float] | None = None,
     salt_shards: int | None = 16,
+    materialize: bool = True,
 ) -> DataFrame:
     """Quality-TIER extraction with temperature-balanced keep quotas —
     the standard "bucket the corpus by quality, then rebalance what you
@@ -447,6 +459,11 @@ def quality_tiers(
     in its shard's top-quota), then re-rank the bounded survivors.
 
     Returns every input row with ``(tier, group_n, quota, keep)``.
+
+    ``materialize=True`` persists the sized (tiered + quota) table its
+    three consumers share (shard prune, survivor re-rank, final keep
+    join) — without it the tier/quota computation re-runs per branch.
+    Standard cache lifecycle (plan-deduped, clearCache releases).
     """
     from pyspark.sql import Window
 
@@ -466,6 +483,8 @@ def quality_tiers(
         F.floor(F.lit(float(quota_coeff)) * F.sqrt(F.col("group_n").cast("double"))),
     ).cast("long")
     sized = tiered.join(counts.withColumn("quota", quota), ["tier", "_grp"])
+    if materialize:
+        sized = sized.persist()
     rkey = F.md5(F.col(id_col).cast("string"))
     order = [rkey, F.col(id_col)]
     if salt_shards and salt_shards > 1:

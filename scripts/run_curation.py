@@ -19,6 +19,13 @@ file stream and ingests one micro-batch per source file
 host_counts collapses to one row per host, one atomic replace-commit
 (curate.compact_warehouse).  Schedule it every N batches — it is the
 writer for its duration (single-writer contract).
+
+``--tier-select --tier-out <dir>`` runs the tier-extraction stage
+(curate.tiered_select) over the stored curated corpus instead of
+ingesting: quality tiers + sqrt-temperature keep quotas (optionally
+span excision first via ``--span-excise-n``), kept rows written
+``partitionBy(tier)`` so training jobs partition-prune to the tiers
+they consume.
 """
 
 from __future__ import annotations
@@ -48,11 +55,26 @@ def main() -> int:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--min-words", type=int, default=20)
+    ap.add_argument("--min-stopword-hits", type=int, default=None,
+                    help="quality gate's distinct-stopword floor "
+                         "(default 2; lower it for non-English or "
+                         "synthetic corpora)")
     ap.add_argument("--near-threshold", type=float, default=0.8)
     ap.add_argument("--no-scrub", action="store_true")
     ap.add_argument("--url-col", default=None)
     ap.add_argument("--max-per-host", type=int, default=None,
                     help="cross-batch per-host quota (needs --url-col)")
+    ap.add_argument("--tier-select", action="store_true",
+                    help="tier-extract the stored curated corpus instead of "
+                         "ingesting")
+    ap.add_argument("--tier-out", default=None,
+                    help="tier-select output dir (written partitionBy(tier))")
+    ap.add_argument("--tiers", type=int, default=4)
+    ap.add_argument("--tier-quota-coeff", type=float, default=8.0)
+    ap.add_argument("--tier-group-col", default=None,
+                    help="rebalance keep quotas within this column's groups")
+    ap.add_argument("--span-excise-n", type=int, default=None,
+                    help="excise corpus-duplicated n-word spans before tiering")
     ap.add_argument("--stream", action="store_true",
                     help="file-stream mode: one micro-batch per source file")
     ap.add_argument("--compact-every", type=int, default=None,
@@ -76,6 +98,34 @@ def main() -> int:
             "wall_sec": round(time.monotonic() - t0, 3),
         }))
         return 0
+    if args.tier_select:
+        from ocr_translate_spark.curate import read_curated, tiered_select
+
+        if not args.tier_out:
+            ap.error("--tier-select needs --tier-out")
+        t0 = time.monotonic()
+        corpus = (
+            spark.read.parquet(args.docs) if args.docs
+            else read_curated(spark, args.warehouse)
+        )
+        out, rep = tiered_select(
+            corpus, id_col=args.id_col, text_col=args.text_col,
+            group_col=args.tier_group_col, n_tiers=args.tiers,
+            quota_coeff=args.tier_quota_coeff,
+            span_excise_n=args.span_excise_n, min_words=args.min_words,
+        )
+        out.filter("keep").drop("keep").write.mode("overwrite").partitionBy(
+            "tier"
+        ).parquet(args.tier_out)
+        print(json.dumps({
+            "mode": "tier_select", "out": args.tier_out,
+            "n_input": rep["n_input"],
+            "n_after_excise": rep.get("n_after_excise"),
+            "tier_bounds": rep["tier_bounds"],
+            "tiers": {str(k): list(v) for k, v in rep["tiers"].items()},
+            "wall_sec": round(time.monotonic() - t0, 3),
+        }))
+        return 0
     if not args.docs:
         ap.error("--docs is required unless --compact is given")
     kw = dict(
@@ -83,6 +133,8 @@ def main() -> int:
         min_words=args.min_words, near_threshold=args.near_threshold,
         scrub=not args.no_scrub,
     )
+    if args.min_stopword_hits is not None:
+        kw["gopher_kwargs"] = {"min_stopword_hits": args.min_stopword_hits}
     if args.max_per_host:
         kw.update(max_per_host=args.max_per_host, url_col=args.url_col)
     t0 = time.monotonic()

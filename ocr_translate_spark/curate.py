@@ -742,11 +742,17 @@ def tiered_select(
        (operators.curation.quality_tiers).
 
     Returns ``(out, report)``: ``out`` is every surviving row with
-    ``(tier, group_n, quota, keep)`` appended — write the extraction as
-    ``out.filter("keep").write.partitionBy("tier")...`` so downstream
-    jobs prune to the tiers they train on; ``report`` carries
-    ``n_input`` / ``n_after_excise`` / ``tier_bounds`` and the
+    ``(quality, tier, group_n, quota, keep)`` appended — write the
+    extraction as ``out.filter("keep").write.partitionBy("tier")...``
+    so downstream jobs prune to the tiers they train on; ``report``
+    carries ``n_input`` / ``n_after_excise`` / ``tier_bounds`` and the
     per-tier (total, kept) histogram (one aggregate action).
+
+    Scale shape: all tiering decisions (sketch, quota windows, lottery)
+    run on a persisted NARROW (id, quality, group) projection — the
+    corpus text rides exactly one scan into the final id-join however
+    many consumers the decision plan has.  The narrow cache follows the
+    standard lifecycle (``spark.catalog.clearCache()`` releases it).
     """
     report: dict = {}
     report["n_input"] = df.count()
@@ -768,29 +774,52 @@ def tiered_select(
         )
         report["n_after_excise"] = df.count()
 
+    # tiering decisions run on a persisted NARROW (id, quality, group)
+    # table — the quantile sketch, the quota windows, and the keep join
+    # all consume ~16-byte rows, and the corpus text rides exactly ONE
+    # scan (the final id-join below) no matter how many consumers the
+    # decision plan has.  Caching the full corpus instead (or
+    # re-scanning text per consumer) measured strictly worse at 5M rows
+    # — see quality_tiers' materialize note.
     qcol = quality_col
     if qcol is None:
         qcol = "_quality"
-        df = df.withColumn(qcol, textstats.quality_score(F.col(text_col)))
+        narrow_cols = [F.col(id_col)]
+        if group_col:
+            narrow_cols.append(F.col(group_col))
+        narrow = df.select(
+            *narrow_cols, textstats.quality_score(F.col(text_col)).alias(qcol)
+        )
+    else:
+        narrow = df.select(
+            *([id_col] + ([group_col] if group_col else []) + [qcol])
+        )
+    narrow = narrow.persist()
 
     bounds = None
     if distributed_bounds:
         bounds = curation.approx_tier_bounds(
-            df, qcol, n_tiers=n_tiers, relative_error=relative_error
+            narrow, qcol, n_tiers=n_tiers, relative_error=relative_error
         )
     report["tier_bounds"] = bounds
-    out = curation.quality_tiers(
-        df, id_col=id_col, quality_col=qcol, group_col=group_col,
+    decisions = curation.quality_tiers(
+        narrow, id_col=id_col, quality_col=qcol, group_col=group_col,
         n_tiers=n_tiers, quota_coeff=quota_coeff, tier_bounds=bounds,
     )
-    if quality_col is None:
-        out = out.drop("_quality")
+    keep_cols = [id_col, qcol, "tier", "group_n", "quota", "keep"]
+    if quality_col is not None:
+        keep_cols.remove(qcol)
+    if group_col:
+        decisions = decisions.drop(group_col)
+    out = df.join(decisions.select(*keep_cols), id_col)
     hist = {
         int(r["tier"]): (int(r["n"]), int(r["kept"]))
-        for r in out.groupBy("tier").agg(
+        for r in decisions.groupBy("tier").agg(
             F.count("*").alias("n"),
             F.sum(F.col("keep").cast("long")).alias("kept"),
         ).collect()
     }
     report["tiers"] = dict(sorted(hist.items()))
+    if quality_col is None:
+        out = out.withColumnRenamed("_quality", "quality")
     return out, report

@@ -651,6 +651,7 @@ def compact_warehouse(
     wh = open_warehouse(spark, warehouse_root)
     tables = tables if tables is not None else [
         CURATED_TABLE, KEYS_TABLE, SIGS_TABLE, BANDS_TABLE, HOSTS_TABLE,
+        TIERED_TABLE, TIER_BOUNDS_TABLE, TIER_COUNTS_TABLE, TIER_SEEN_TABLE,
     ]
     n_parts = target_files or spark.sparkContext.defaultParallelism
     staged: dict[str, list[str]] = {}
@@ -662,6 +663,11 @@ def compact_warehouse(
             continue  # never committed — nothing to compact
         if table == HOSTS_TABLE:
             df = df.groupBy("host").agg(F.sum("n").alias("n"))
+        elif table == TIER_COUNTS_TABLE:
+            # same log-structured fold as host_counts: reads always sum
+            df = df.groupBy("tier", "grp").agg(
+                F.sum("n_seen").alias("n_seen"), F.sum("n_kept").alias("n_kept")
+            )
         staged[table] = [wh.stage(df.repartition(n_parts), table)]
         rows[table] = wh.read_staged(spark, staged[table][0]).count()
     if not staged:
@@ -823,3 +829,202 @@ def tiered_select(
     if quality_col is None:
         out = out.withColumnRenamed("_quality", "quality")
     return out, report
+
+
+TIERED_TABLE = "tiered"            # (id, text, ..., quality, tier) — kept docs
+TIER_BOUNDS_TABLE = "tier_bounds"  # (tier, cutoff) — frozen thresholds
+TIER_COUNTS_TABLE = "tier_counts"  # (tier, grp, n_seen, n_kept) — quota ledger
+TIER_SEEN_TABLE = "tier_seen"      # (id) — processed-doc memo ledger
+
+
+def tiered_ingest(
+    spark,
+    warehouse_root: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    quality_col: "str | None" = None,
+    group_col: "str | None" = None,
+    n_tiers: int = 4,
+    quota_coeff: float = 8.0,
+    relative_error: float = 1e-3,
+    salt_shards: int = 16,
+) -> "tuple[DataFrame, dict]":
+    """Tier-extract ONE batch against the warehouse — the
+    continuous-ingestion form of :func:`tiered_select`, mirroring
+    curate_incremental's ledger discipline for the tier quotas.
+
+    Stored state:
+
+    * ``tiered``       — the kept rows (batch columns + quality, tier);
+    * ``tier_bounds``  — (tier, cutoff): computed by the FIRST batch's
+      Greenwald-Khanna sketch and frozen — every later batch tier-maps
+      against the same thresholds, so tier semantics never drift with
+      batch composition (re-tiering the corpus under fresh bounds is a
+      periodic maintenance job, not the hot path);
+    * ``tier_counts``  — (tier, grp, n_seen, n_kept) log-structured
+      ledger (append per commit, summed at read).
+
+    Per-(tier, group) allowance for a batch is
+    ``min(m_total, floor(c*sqrt(m_total))) - kept_so_far`` where
+    ``m_total`` counts every doc EVER SEEN in the cell (kept or not) —
+    the sqrt-temperature quota is monotone in m, so allowances only
+    top up, never shrink, and after any batch sequence the kept count
+    per cell EXACTLY equals the single-shot quota for the same seen
+    population (the convergence test pins this).  WHICH docs fill a
+    topped-up allowance is arrival-order greedy (earlier batches lock
+    their keeps) — same documented policy as the corpus-wins keeper in
+    incremental dedup.  Within a batch the lottery is the deterministic
+    portable-md5 rank, two-level salted like quality_tiers.
+
+    Re-running a batch is a no-op: ``tier_seen`` is an id-only memo
+    ledger of every doc ever PROCESSED (kept or rejected — a kept-only
+    ledger would re-count a replayed batch's rejected docs as fresh
+    ``n_seen`` and inflate future quotas), and a fully-rejected batch
+    still commits its seen ids + counts — they raise future allowances.
+    Kept rows, seen ids, count deltas, and (first batch) bounds publish
+    in ONE atomic commit.
+
+    Returns ``(kept_df, report)``.
+    """
+    from .io.tables import open_warehouse
+    from .operators import curation as cops
+
+    wh = open_warehouse(spark, warehouse_root)
+    id_dt = batch.schema[id_col].dataType.simpleString()
+    rep: dict = {"n_batch": batch.count()}
+
+    seen_ids = wh.read(spark, TIER_SEEN_TABLE, schema=f"{id_col} {id_dt}")
+    new = batch.join(seen_ids.select(id_col), id_col, "left_anti")
+
+    qcol = quality_col or "_quality"
+    grp = F.col(group_col) if group_col else F.lit("")
+    narrow_cols = [F.col(id_col), grp.alias("_grp")]
+    if quality_col is None:
+        narrow = new.select(
+            *narrow_cols, textstats.quality_score(F.col(text_col)).alias(qcol)
+        )
+    else:
+        narrow = new.select(*narrow_cols, F.col(qcol))
+    narrow = narrow.persist()
+    rep["n_new"] = narrow.count()
+
+    stored_bounds = wh.read(
+        spark, TIER_BOUNDS_TABLE, schema="tier long, cutoff double"
+    ).collect()
+    first_batch = not stored_bounds
+    if first_batch:
+        if rep["n_new"] == 0:
+            rep.update(first_batch=True, n_kept=0,
+                       snapshot_id=wh.current_snapshot_id())
+            narrow.unpersist()
+            return new.limit(0), rep
+        bounds = cops.approx_tier_bounds(
+            narrow, qcol, n_tiers=n_tiers, relative_error=relative_error
+        )
+    else:
+        bounds = [r["cutoff"] for r in sorted(stored_bounds, key=lambda r: r["tier"])]
+    rep["tier_bounds"] = bounds
+    rep["first_batch"] = first_batch
+
+    t = F.lit(1)
+    for b in bounds:
+        t = t + F.when(F.col(qcol) < b, 1).otherwise(0)
+    assigned = narrow.withColumn("tier", t.cast("long"))
+
+    prev = (
+        wh.read(spark, TIER_COUNTS_TABLE,
+                schema="tier long, grp string, n_seen long, n_kept long")
+        .groupBy("tier", "grp")
+        .agg(F.sum("n_seen").alias("_m_prev"), F.sum("n_kept").alias("_k_prev"))
+        .withColumnRenamed("grp", "_grp")
+    )
+    m_batch = assigned.groupBy("tier", "_grp").agg(F.count("*").alias("_m_batch"))
+    cells = (
+        m_batch.join(prev, ["tier", "_grp"], "left")
+        .select(
+            "tier", "_grp", "_m_batch",
+            F.coalesce(F.col("_m_prev"), F.lit(0)).alias("_m_prev"),
+            F.coalesce(F.col("_k_prev"), F.lit(0)).alias("_k_prev"),
+        )
+        .withColumn("_m_tot", F.col("_m_prev") + F.col("_m_batch"))
+        .withColumn(
+            "_allow",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.col("_m_tot"),
+                    F.floor(F.lit(float(quota_coeff))
+                            * F.sqrt(F.col("_m_tot").cast("double"))),
+                ).cast("long") - F.col("_k_prev"),
+            ),
+        )
+    )
+    sized = assigned.join(F.broadcast(cells), ["tier", "_grp"])
+
+    from pyspark.sql import Window
+
+    rkey = F.md5(F.col(id_col).cast("string"))
+    order = [rkey, F.col(id_col)]
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit("ti")),
+                  F.lit(salt_shards))
+    w1 = Window.partitionBy("tier", "_grp", salt).orderBy(*order)
+    pruned = (
+        sized.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= F.col("_allow"))
+        .drop("_rn1")
+    )
+    w2 = Window.partitionBy("tier", "_grp").orderBy(*order)
+    kept = (
+        pruned.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= F.col("_allow"))
+        .select(id_col, "tier", "_grp", F.col(qcol))
+        .persist()
+    )
+    sel = [F.col(id_col), F.col("tier")]
+    if quality_col is None:
+        # surface the internally-computed score; a caller-provided
+        # quality column is already on the batch rows
+        sel.append(F.col(qcol).alias("quality"))
+    out = new.join(kept.select(*sel), id_col).persist()
+    rep["n_kept"] = out.count()
+
+    kept_cells = kept.groupBy("tier", "_grp").agg(F.count("*").alias("_nk"))
+    rep["kept_per_tier"] = {
+        int(r["tier"]): int(r["n"]) for r in
+        kept_cells.groupBy("tier").agg(F.sum("_nk").alias("n")).collect()
+    }
+
+    if rep["n_new"] == 0:
+        rep["snapshot_id"] = wh.current_snapshot_id()
+        narrow.unpersist()
+        kept.unpersist()
+        return out, rep
+
+    # delta rows: EVERY seen doc counts toward future allowances, kept
+    # or not; kept counts come from the same kept set the corpus append
+    # uses, so the ledger can never drift from the table
+    delta = (
+        cells.select("tier", "_grp", F.col("_m_batch").alias("n_seen"))
+        .join(kept_cells, ["tier", "_grp"], "left")
+        .select(
+            "tier", F.col("_grp").alias("grp"), "n_seen",
+            F.coalesce(F.col("_nk"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+    staged = {
+        TIERED_TABLE: [wh.stage(out, TIERED_TABLE)],
+        TIER_SEEN_TABLE: [wh.stage(new.select(id_col), TIER_SEEN_TABLE)],
+        TIER_COUNTS_TABLE: [wh.stage(delta, TIER_COUNTS_TABLE)],
+    }
+    if first_batch:
+        bounds_df = spark.createDataFrame(
+            [(i + 1, float(b)) for i, b in enumerate(bounds)],
+            "tier long, cutoff double",
+        )
+        staged[TIER_BOUNDS_TABLE] = [wh.stage(bounds_df, TIER_BOUNDS_TABLE)]
+    rep["snapshot_id"] = wh.commit(staged)
+    narrow.unpersist()
+    kept.unpersist()
+    return out, rep

@@ -67,6 +67,13 @@ def main() -> int:
     ap.add_argument("--tier-select", action="store_true",
                     help="tier-extract the stored curated corpus instead of "
                          "ingesting")
+    ap.add_argument("--tier-ingest", action="store_true",
+                    help="tier-extract ONE batch against the warehouse's "
+                         "frozen bounds + cross-batch quota ledger "
+                         "(curate.tiered_ingest); idempotent per batch")
+    ap.add_argument("--quality-col", default=None,
+                    help="tier modes: use this pre-scored column instead of "
+                         "the built-in quality heuristic")
     ap.add_argument("--tier-out", default=None,
                     help="tier-select output dir (written partitionBy(tier))")
     ap.add_argument("--tiers", type=int, default=4)
@@ -97,6 +104,29 @@ def main() -> int:
             "mode": "compact", "snapshot_id": snap, "rows": rows,
             "wall_sec": round(time.monotonic() - t0, 3),
         }))
+        return 0
+    if args.tier_ingest:
+        from ocr_translate_spark.curate import tiered_ingest
+
+        if not args.docs:
+            ap.error("--tier-ingest needs --docs (the batch)")
+        t0 = time.monotonic()
+        docs = (
+            spark.table(args.docs.split(":", 1)[1])
+            if args.docs.startswith("table:") else spark.read.parquet(args.docs)
+        )
+        _, rep = tiered_ingest(
+            spark, args.warehouse, docs,
+            id_col=args.id_col, text_col=args.text_col,
+            quality_col=args.quality_col, group_col=args.tier_group_col,
+            n_tiers=args.tiers, quota_coeff=args.tier_quota_coeff,
+        )
+        rep["mode"] = "tier_ingest"
+        rep["kept_per_tier"] = {
+            str(k): v for k, v in rep.get("kept_per_tier", {}).items()
+        }
+        rep["wall_sec"] = round(time.monotonic() - t0, 3)
+        print(json.dumps(rep))
         return 0
     if args.tier_select:
         from ocr_translate_spark.curate import read_curated, tiered_select

@@ -382,3 +382,129 @@ def test_tiered_select_composition(spark):
     assert rep2["tier_bounds"] is None
     tiers2 = [r["tier"] for r in out2.collect()]
     assert len(tiers2) == 40 and set(tiers2) == {1, 2, 3, 4}
+
+
+def test_tiered_ingest_cross_batch_quota_convergence(spark, tmp_path):
+    """The incremental-tiering contract: frozen first-batch bounds,
+    monotone top-up allowances, ledger idempotence — and after any batch
+    sequence the per-cell kept counts EXACTLY equal the single-shot
+    quota over the same seen population."""
+    import math
+
+    from ocr_translate_spark.curate import tiered_ingest
+    from ocr_translate_spark.io.tables import open_warehouse
+
+    wh_dir = str(tmp_path / "tier_wh")
+    # deterministic quality (caller-scored) and two groups; three batches
+    rows = [(i, "body %d" % i, (i * 37 % 100) / 100.0, "g%d" % (i % 2))
+            for i in range(120)]
+    schema = "doc_id long, text string, q double, grp string"
+    batches = [rows[:40], rows[40:80], rows[80:]]
+
+    reps = []
+    for b in batches:
+        _, rep = tiered_ingest(
+            spark, wh_dir, spark.createDataFrame(b, schema),
+            quality_col="q", group_col="grp", n_tiers=2, quota_coeff=1.0,
+        )
+        reps.append(rep)
+    assert reps[0]["first_batch"] and not reps[1]["first_batch"]
+    bounds = reps[0]["tier_bounds"]
+    assert len(bounds) == 1
+    # bounds are FROZEN: later batches report the stored thresholds
+    assert reps[1]["tier_bounds"] == bounds == reps[2]["tier_bounds"]
+
+    # closed form over the full seen population with the stored bounds
+    def tier_of(q):
+        return 1 + sum(q < b for b in bounds)
+
+    cells: dict[tuple, int] = {}
+    for i, _t, q, g in rows:
+        cells[(tier_of(q), g)] = cells.get((tier_of(q), g), 0) + 1
+    expect = {k: min(m, math.floor(1.0 * math.sqrt(m))) for k, m in cells.items()}
+
+    wh = open_warehouse(spark, wh_dir)
+    stored = wh.read(spark, "tiered")
+    got = {(r["tier"], r["grp"]): r["n"] for r in
+           stored.groupBy("tier", "grp").agg(F.count("*").alias("n")).collect()}
+    assert got == expect
+
+    # ledger state matches: summed seen == population, summed kept == kept
+    counts = wh.read(spark, "tier_counts")
+    seen = {(r["tier"], r["grp"]): (r["s"], r["k"]) for r in
+            counts.groupBy("tier", "grp").agg(
+                F.sum("n_seen").alias("s"), F.sum("n_kept").alias("k")).collect()}
+    assert {k: v[0] for k, v in seen.items()} == cells
+    assert {k: v[1] for k, v in seen.items()} == expect
+
+    # allowances only top up: every batch kept something until quotas filled
+    assert reps[0]["n_kept"] > 0 and sum(r["n_kept"] for r in reps) == sum(expect.values())
+
+    # idempotence: re-running batch 2 is a no-op (no snapshot burned)
+    snap_before = wh.current_snapshot_id()
+    _, rep_replay = tiered_ingest(
+        spark, wh_dir, spark.createDataFrame(batches[1], schema),
+        quality_col="q", group_col="grp", n_tiers=2, quota_coeff=1.0,
+    )
+    assert rep_replay["n_new"] == 0 and rep_replay["n_kept"] == 0
+    assert rep_replay["snapshot_id"] == snap_before
+    assert wh.read(spark, "tiered").count() == sum(expect.values())
+
+    # single-shot equivalence: quality_tiers with the SAME stored bounds
+    # and coeff over the full population keeps identical per-cell counts
+    from ocr_translate_spark.operators import curation as cops
+
+    full = spark.createDataFrame(rows, schema)
+    single = cops.quality_tiers(
+        full, id_col="doc_id", quality_col="q", group_col="grp",
+        n_tiers=2, quota_coeff=1.0, tier_bounds=bounds,
+    )
+    got_single = {(r["tier"], r["grp"]): r["n"] for r in
+                  single.filter("keep").groupBy("tier", "grp")
+                  .agg(F.count("*").alias("n")).collect()}
+    assert got_single == got
+
+
+def test_tiered_ingest_compaction_preserves_quota_state(spark, tmp_path):
+    """compact_warehouse folds the tier ledgers without changing their
+    read-side sums; ingestion after compaction continues exactly."""
+    import math
+
+    from ocr_translate_spark.curate import compact_warehouse, tiered_ingest
+    from ocr_translate_spark.io.tables import open_warehouse
+
+    wh_dir = str(tmp_path / "wh")
+    schema = "doc_id long, text string, q double, grp string"
+    rows = [(i, "b %d" % i, (i * 13 % 50) / 50.0, "g%d" % (i % 3))
+            for i in range(90)]
+    for lo in (0, 30):
+        tiered_ingest(spark, wh_dir, spark.createDataFrame(rows[lo:lo+30], schema),
+                      quality_col="q", group_col="grp", n_tiers=2, quota_coeff=1.5)
+    wh = open_warehouse(spark, wh_dir)
+    pre = {(r["tier"], r["grp"]): (r["s"], r["k"]) for r in
+           wh.read(spark, "tier_counts").groupBy("tier", "grp").agg(
+               F.sum("n_seen").alias("s"), F.sum("n_kept").alias("k")).collect()}
+    n_seen_pre = wh.read(spark, "tier_seen").count()
+
+    snap, nrows = compact_warehouse(spark, wh_dir)
+    assert nrows["tier_counts"] == len(pre)  # folded to one row per cell
+    post = {(r["tier"], r["grp"]): (r["n_seen"], r["n_kept"]) for r in
+            wh.read(spark, "tier_counts").collect()}
+    assert post == pre
+    assert wh.read(spark, "tier_seen").count() == n_seen_pre == 60
+
+    # ingestion continues against the folded ledger
+    _, rep3 = tiered_ingest(spark, wh_dir, spark.createDataFrame(rows[60:], schema),
+                            quality_col="q", group_col="grp", n_tiers=2,
+                            quota_coeff=1.5)
+    assert rep3["n_new"] == 30
+    bounds = rep3["tier_bounds"]
+    cells: dict[tuple, int] = {}
+    for i, _t, q, g in rows:
+        tier = 1 + sum(q < b for b in bounds)
+        cells[(tier, g)] = cells.get((tier, g), 0) + 1
+    expect = {k: min(m, math.floor(1.5 * math.sqrt(m))) for k, m in cells.items()}
+    got = {(r["tier"], r["grp"]): r["n"] for r in
+           wh.read(spark, "tiered").groupBy("tier", "grp")
+           .agg(F.count("*").alias("n")).collect()}
+    assert got == expect

@@ -98,3 +98,63 @@ def run_curation_stream(
     finally:
         query.stop()
     return reports
+
+
+def run_tiered_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    warehouse_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+    checkpoint_dir: str | None = None,
+    **tier_kwargs,
+) -> list[dict]:
+    """Tier extraction as a file stream: per-micro-batch
+    :func:`curate.tiered_ingest` via ``foreachBatch`` — the first batch
+    freezes the stored tier bounds, every later batch tops up the
+    cross-batch sqrt-temperature quotas, and each batch's kept rows +
+    ledgers commit atomically.  Same state discipline as
+    run_curation_stream: everything lives in committed tables, so the
+    stream survives checkpoint loss and restarts idempotently (the
+    tier_seen ledger skips already-processed ids).  Composes downstream
+    of the curation stream: crawl -> extract -> curate -> tier, every
+    stage resumable from its warehouse snapshot.
+
+    ``tier_kwargs`` pass through to tiered_ingest (quality_col,
+    group_col, n_tiers, quota_coeff, ...).  Returns per-batch reports.
+    """
+    from ..curate import tiered_ingest
+
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    cols = [id_col, text_col]
+    for k in ("quality_col", "group_col"):
+        c = tier_kwargs.get(k)
+        if c and c not in cols:
+            cols.append(c)
+    reports: list[dict] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        _, rep = tiered_ingest(
+            spark, warehouse_root, batch_df.select(*cols),
+            id_col=id_col, text_col=text_col, **tier_kwargs,
+        )
+        rep["batch_id"] = batch_id
+        reports.append(rep)
+
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    query = writer.start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return reports

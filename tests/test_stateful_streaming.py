@@ -274,3 +274,64 @@ def test_streaming_curation_cross_batch_host_quota(spark, tmp_path):
         .groupBy("host").agg(F.sum("n").alias("n")).collect()
     }
     assert counts == {"farm.example": 4, "ok.example": 4}
+
+
+def test_streaming_tier_ingest_converges_to_quota(spark, tmp_path):
+    """Tier-extraction stream: three micro-batches through
+    run_tiered_stream; the stored tiered table converges to the exact
+    single-shot quota per (tier, group) cell, and replaying the stream
+    (fresh checkpoint, same files) processes nothing new."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ocr_translate_spark.io.tables import open_warehouse
+    from ocr_translate_spark.streaming.curate_stream import run_tiered_stream
+
+    rows = [(i, "body %d" % i, (i * 29 % 80) / 80.0, "g%d" % (i % 2))
+            for i in range(90)]
+    pdf_cols = ["doc_id", "text", "q", "grp"]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, q double, grp string")
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir)
+    all_pdf = docs.toPandas()[pdf_cols]
+    now = time.time()
+    for i, (lo, hi) in enumerate([(0, 30), (30, 60), (60, 90)]):
+        chunk = all_pdf[(all_pdf["doc_id"] >= lo) & (all_pdf["doc_id"] < hi)]
+        path = os.path.join(docs_dir, f"batch-{i:02d}.parquet")
+        chunk.to_parquet(path)
+        os.utime(path, (now - 60 + 20 * i, now - 60 + 20 * i))
+
+    wh_root = str(tmp_path / "wh")
+    reports = run_tiered_stream(
+        spark, docs_dir, wh_root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        quality_col="q", group_col="grp", n_tiers=2, quota_coeff=1.0,
+    )
+    assert len(reports) == 3 and reports[0]["first_batch"]
+    bounds = reports[0]["tier_bounds"]
+    assert reports[1]["tier_bounds"] == bounds
+
+    cells: dict[tuple, int] = {}
+    for i, _t, q, g in rows:
+        tier = 1 + sum(q < b for b in bounds)
+        cells[(tier, g)] = cells.get((tier, g), 0) + 1
+    expect = {k: min(m, math.floor(math.sqrt(m))) for k, m in cells.items()}
+
+    wh = open_warehouse(spark, wh_root)
+    got = {(r["tier"], r["grp"]): r["n"] for r in
+           wh.read(spark, "tiered").groupBy("tier", "grp")
+           .agg(F.count("*").alias("n")).collect()}
+    assert got == expect
+
+    # replay with a FRESH checkpoint: the tier_seen ledger (not streaming
+    # state) carries idempotence — nothing appends, no snapshot burns
+    snap = wh.current_snapshot_id()
+    replay = run_tiered_stream(
+        spark, docs_dir, wh_root,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        quality_col="q", group_col="grp", n_tiers=2, quota_coeff=1.0,
+    )
+    assert all(r["n_new"] == 0 and r["n_kept"] == 0 for r in replay)
+    assert wh.current_snapshot_id() == snap
+    assert wh.read(spark, "tiered").count() == sum(expect.values())

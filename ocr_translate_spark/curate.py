@@ -886,7 +886,9 @@ def tiered_ingest(
     Kept rows, seen ids, count deltas, and (first batch) bounds publish
     in ONE atomic commit.
 
-    Returns ``(kept_df, report)``.
+    Returns ``(kept_df, report)``.  ``kept_df`` comes back CACHED (the
+    commit materialized it); the caller owns the unpersist — the
+    streaming sink drops it per batch (run_tiered_stream).
     """
     from .io.tables import open_warehouse
     from .operators import curation as cops

@@ -142,10 +142,14 @@ def run_tiered_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        _, rep = tiered_ingest(
+        kept_df, rep = tiered_ingest(
             spark, warehouse_root, batch_df.select(*cols),
             id_col=id_col, text_col=text_col, **tier_kwargs,
         )
+        # the kept frame is committed — drop its batch-scoped cache so a
+        # long-running stream doesn't accumulate one cached relation per
+        # micro-batch (same discipline as the curation sink)
+        kept_df.unpersist()
         rep["batch_id"] = batch_id
         reports.append(rep)
 

@@ -620,6 +620,7 @@ def compact_warehouse(
     warehouse_root: str,
     tables: "list[str] | None" = None,
     target_files: "int | None" = None,
+    retain_last: "int | None" = None,
 ) -> "tuple[int, dict[str, int]]":
     """Compact the curation warehouse: rewrite each table's CURRENT
     committed state into one fresh staged directory and publish a single
@@ -642,10 +643,23 @@ def compact_warehouse(
       writer slot; running it concurrently with an ingest batch could
       replace away rows appended between the read and the commit.
 
+    On an Iceberg catalog the same pass runs catalog-natively
+    (IcebergWarehouse.compact): ``CALL system.rewrite_data_files``
+    bin-packs each appended table's small files, the log-structured
+    ledgers fold via stage + ``INSERT OVERWRITE``, and all touched
+    tables publish under one logical snapshot.  ``retain_last`` (opt-in,
+    Iceberg branch only) additionally expires old table snapshots —
+    storage reclaim at the cost of deep time travel; the emulation
+    ignores it (manifests are tiny and old data dirs stay referenced).
+
     Returns ``(snapshot_id, {table: n_rows})``.  Tables with no
     committed data are skipped.  A no-op compaction (nothing committed
-    yet) returns the current snapshot id and an empty dict.
+    yet) returns the current snapshot id and an empty dict.  The Iceberg
+    branch returns an empty rows dict (row counts there would re-scan
+    tables whose contents the rewrite procedures don't change).
     """
+    import inspect
+
     from .io.tables import open_warehouse
 
     wh = open_warehouse(spark, warehouse_root)
@@ -654,34 +668,51 @@ def compact_warehouse(
         TIERED_TABLE, TIER_BOUNDS_TABLE, TIER_COUNTS_TABLE, TIER_SEEN_TABLE,
     ]
     n_parts = target_files or spark.sparkContext.defaultParallelism
+
+    def fold(table: str, df: DataFrame) -> "DataFrame | None":
+        """The ledger folds (reads always sum, so the summed form is
+        read-identical); None = compact as-is, rows unchanged."""
+        if table == HOSTS_TABLE:
+            return df.groupBy("host").agg(F.sum("n").alias("n"))
+        if table == TIER_COUNTS_TABLE:
+            return df.groupBy("tier", "grp").agg(
+                F.sum("n_seen").alias("n_seen"), F.sum("n_kept").alias("n_kept")
+            )
+        return None
+
+    # capability dispatch FIRST — before any table is staged/rewritten —
+    # so a branch that can't finish never leaves expensive orphans behind
+    if "replace" not in inspect.signature(wh.commit).parameters:
+        # Iceberg catalog: metadata-procedure compaction through the seam
+        plan: dict = {}
+        for table in tables:
+            try:
+                df = wh.read(spark, table)
+            except ValueError:
+                continue  # never committed — nothing to compact
+            folded = fold(table, df)
+            plan[table] = (
+                folded.repartition(n_parts) if folded is not None else None
+            )
+        return wh.compact(spark, plan, retain_last=retain_last), {}
+
     staged: dict[str, list[str]] = {}
     rows: dict[str, int] = {}
     for table in tables:
+        # only the empty-table signal skips a table; a real read failure
+        # (corrupt footer, transient IO) must surface, not silently leave
+        # the table uncompacted
         try:
             df = wh.read(spark, table)
-        except Exception:
+        except ValueError:
             continue  # never committed — nothing to compact
-        if table == HOSTS_TABLE:
-            df = df.groupBy("host").agg(F.sum("n").alias("n"))
-        elif table == TIER_COUNTS_TABLE:
-            # same log-structured fold as host_counts: reads always sum
-            df = df.groupBy("tier", "grp").agg(
-                F.sum("n_seen").alias("n_seen"), F.sum("n_kept").alias("n_kept")
-            )
+        folded = fold(table, df)
+        if folded is not None:
+            df = folded
         staged[table] = [wh.stage(df.repartition(n_parts), table)]
         rows[table] = wh.read_staged(spark, staged[table][0]).count()
     if not staged:
         return wh.current_snapshot_id(), {}
-    import inspect
-
-    if "replace" not in inspect.signature(wh.commit).parameters:
-        # the Iceberg-catalog branch compacts via its own metadata
-        # procedures (rewrite_data_files / expire_snapshots), not a
-        # replace-commit; don't silently append-duplicate the corpus
-        raise NotImplementedError(
-            "compact_warehouse needs a replace-commit; on an Iceberg "
-            "catalog use CALL rewrite_data_files / expire_snapshots"
-        )
     snap = wh.commit(staged, replace=set(staged))
     return snap, rows
 

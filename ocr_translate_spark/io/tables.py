@@ -356,6 +356,75 @@ class IcebergWarehouse:
     def write(self, df: DataFrame, table: str) -> int:
         return self.commit({table: [self.stage(df, table)]})
 
+    def compact(
+        self,
+        spark: SparkSession,
+        tables: "dict[str, DataFrame | None]",
+        retain_last: "int | None" = None,
+    ) -> int:
+        """Catalog-native compaction — the Iceberg analog of the parquet
+        emulation's replace-commit maintenance pass (curate.compact_warehouse
+        routes here).  ``tables`` maps table name to either
+
+        * ``None`` — metadata-only bin-pack: ``CALL system.rewrite_data_files``
+          rewrites small files into target-sized ones without changing rows
+          (what per-batch appends need); or
+        * a folded DataFrame — the table's rows are REPLACED by it via
+          stage + ``INSERT OVERWRITE`` (the log-structured ledgers —
+          host_counts, tier_counts — collapse to their summed form with
+          identical read-side semantics).
+
+        All touched tables then publish under ONE logical snapshot (one
+        log append), so readers switch atomically — and because Iceberg
+        retains pre-rewrite snapshots, TIME TRAVEL through the snapshot
+        log keeps working, same contract as the emulation.
+
+        ``retain_last`` (opt-in) additionally runs
+        ``CALL system.expire_snapshots(retain_last => N)`` per table —
+        the storage-reclaim half of Iceberg maintenance.  It DELETES the
+        data files old snapshots reference, so logical snapshots older
+        than the retained window stop being time-travelable; leave it
+        ``None`` (default) unless storage pressure demands it.
+
+        Single-writer contract applies (see ConcurrentCommitError).
+        """
+        commit_uuid = uuid.uuid4().hex
+        done: "list[str]" = []
+        for table in sorted(tables):
+            full = self._full(table)
+            if not self._table_exists(full):
+                continue  # never committed — nothing to compact
+            self._rollback_orphans(table)
+            folded = tables[table]
+            if folded is None:
+                self._sql(
+                    f"CALL spark_catalog.system.rewrite_data_files"
+                    f"(table => '{full}')"
+                )
+            else:
+                # fold = full-row replace: stage the folded form (so the
+                # overwrite never reads the table it is rewriting), then
+                # one atomic INSERT OVERWRITE snapshot
+                handle = self.stage(folded, table)
+                try:
+                    self._sql(
+                        f"INSERT OVERWRITE {full} SELECT * FROM {handle}"
+                    )
+                finally:
+                    self._sql(f"DROP TABLE IF EXISTS {handle}")
+            done.append(table)
+        if not done:
+            return self.current_snapshot_id()
+        snap = self._publish_log(done, commit_uuid)
+        if retain_last is not None:
+            for table in done:
+                self._sql(
+                    f"CALL spark_catalog.system.expire_snapshots"
+                    f"(table => '{self._full(table)}', "
+                    f"retain_last => {int(retain_last)})"
+                )
+        return snap
+
     # -- read ------------------------------------------------------------
 
     def current_snapshot_id(self) -> int:

@@ -778,7 +778,10 @@ def connected_components(
     duplicates are irrelevant.  Output: ``(node, component)`` for every
     node incident to at least one edge, where ``component`` is the MINIMUM
     node id of the node's connected component (callers union isolated
-    nodes back as their own singletons).
+    nodes back as their own singletons).  Raises ``RuntimeError`` if the
+    edge set has not stabilized within ``max_iter`` rounds — a silent
+    return there would be partially-contracted labels (one component
+    reported as several).
 
     Scale design: neither star ever materializes a neighborhood list —
     each round is ``groupBy(min)`` + an equi-join back to the edges (both
@@ -805,6 +808,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         # large-star: for every node u, connect each strictly-larger
         # neighbor to min(N(u) ∪ {u}).  The symmetric edge set is ONE
@@ -851,7 +855,12 @@ def connected_components(
             .select(F.col("x.a").alias("s"), F.col("x.b").alias("d"))
             .distinct()
         )
-        nxt = small.localCheckpoint()
+        # LAZY checkpoint: the convergence-checksum action below is the
+        # round's ONE job — it materializes the checkpoint blocks AND
+        # computes the signature in the same pass (an eager checkpoint +
+        # separate agg ran two jobs per round; at ~8 rounds the extra job
+        # launches dominated the sf0.1 wall).
+        nxt = small.localCheckpoint(eager=False)
         # bit_xor: overflow-free (ANSI-safe) order-independent checksum of
         # the DISTINCT edge set
         sig = nxt.agg(
@@ -862,8 +871,19 @@ def connected_components(
         e.unpersist()
         e = nxt
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # partially-contracted labels would silently report one component
+        # as several (and callers like dedup_clusters would then keep
+        # extra "representatives") — refuse rather than under-merge.
+        # O(log n) rounds means the default covers path lengths ~2^25;
+        # hitting this is a pathological graph or too-small max_iter.
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds (edge-set signature still changing); raise max_iter"
+        )
     # e is now a star forest (child, root): label children, roots label
     # themselves (same single-scan explode form as the loop — see above)
     return (

@@ -74,10 +74,15 @@ def run_curation_stream(
         nonlocal appended_batches
         if not batch_df.take(1):
             return
-        _, rep = curate_incremental(
+        out, rep = curate_incremental(
             spark, warehouse_root, batch_df.select(*cols),
             id_col=id_col, text_col=text_col, **curate_kwargs,
         )
+        # the survivors are committed — drop the batch-scoped cache so a
+        # long-running stream doesn't accumulate one cached relation per
+        # micro-batch (curate.py's lifecycle note names this sink as the
+        # owner; the tier sink below does the same)
+        out.unpersist()
         d = rep.as_dict()
         d["batch_id"] = batch_id
         if rep.n_appended:

@@ -51,6 +51,10 @@ def main() -> int:
     ap.add_argument("--target-files", type=int, default=None,
                     help="partitions per compacted table (default: session "
                          "parallelism)")
+    ap.add_argument("--retain-last", type=int, default=None,
+                    help="compact mode, Iceberg catalogs only: also expire "
+                         "old table snapshots, keeping the last N (trades "
+                         "deep time travel for storage)")
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
@@ -98,7 +102,8 @@ def main() -> int:
 
         t0 = time.monotonic()
         snap, rows = compact_warehouse(
-            spark, args.warehouse, target_files=args.target_files
+            spark, args.warehouse, target_files=args.target_files,
+            retain_last=args.retain_last,
         )
         print(json.dumps({
             "mode": "compact", "snapshot_id": snap, "rows": rows,
@@ -140,6 +145,7 @@ def main() -> int:
         )
         out, rep = tiered_select(
             corpus, id_col=args.id_col, text_col=args.text_col,
+            quality_col=args.quality_col,
             group_col=args.tier_group_col, n_tiers=args.tiers,
             quota_coeff=args.tier_quota_coeff,
             span_excise_n=args.span_excise_n, min_words=args.min_words,

@@ -242,6 +242,34 @@ class FakeIcebergWarehouse(IcebergWarehouse):
             self.tables[full].append((self._next_snap(), list(target.values())))
             return FakeResult([])
 
+        if m := re.fullmatch(
+            r"CALL spark_catalog\.system\.rewrite_data_files\(table => '([\w.]+)'\)", s
+        ):
+            full = m.group(1)
+            assert full in self.tables, f"rewrite_data_files on missing {full}"
+            # bin-pack: rows unchanged, new replace snapshot
+            self.tables[full].append((self._next_snap(), list(self._rows(full))))
+            return FakeResult([])
+
+        if m := re.fullmatch(
+            r"INSERT OVERWRITE ([\w.]+) SELECT \* FROM ([\w.]+)", s
+        ):
+            full, handle = m.group(1), m.group(2)
+            assert full in self.tables, f"INSERT OVERWRITE on missing {full}"
+            self.tables[full].append(
+                (self._next_snap(), [dict(r) for r in self._rows(handle)])
+            )
+            return FakeResult([])
+
+        if m := re.fullmatch(
+            r"CALL spark_catalog\.system\.expire_snapshots"
+            r"\(table => '([\w.]+)', retain_last => (\d+)\)", s
+        ):
+            full, n = m.group(1), int(m.group(2))
+            versions = self.tables[full]
+            self.tables[full] = versions[-n:]
+            return FakeResult([])
+
         raise AssertionError(f"fake engine: unrecognized SQL shape: {statement!r}")
 
 
@@ -383,6 +411,89 @@ def test_stage_discard_leaves_no_catalog_entry(wh):
 def test_read_before_any_commit_returns_empty_or_raises(wh):
     with pytest.raises(ValueError):
         wh.read(None, "missing")
+
+
+def test_compact_rewrites_folds_publishes_one_snapshot(wh):
+    """compact(): append-style tables bin-pack via rewrite_data_files,
+    ledger tables REPLACE via stage + INSERT OVERWRITE, everything
+    publishes under ONE logical snapshot, time travel to pre-compaction
+    logical snapshots still resolves, and no snapshots expire unless
+    asked — the catalog half of curate.compact_warehouse (r6 missing #2).
+    """
+    hosts = lambda *rows: FakeDF(  # noqa: E731
+        [{"host": h, "n": n} for h, n in rows], ["host", "n"]
+    )
+    wh.commit({
+        "curated": [wh.stage(_df(("u1", "a")), "curated")],
+        "host_counts": [wh.stage(hosts(("h", 1)), "host_counts")],
+    })
+    wh.commit({
+        "curated": [wh.stage(_df(("u2", "b")), "curated")],
+        "host_counts": [wh.stage(hosts(("h", 2)), "host_counts")],
+    })
+    snap = wh.compact(
+        None,
+        {"curated": None, "host_counts": hosts(("h", 3)),
+         "never_committed": None},
+    )
+    assert snap == 3 == wh.current_snapshot_id()
+
+    rewrites = [s for s in wh.statements if "rewrite_data_files" in s]
+    assert rewrites == [
+        "CALL spark_catalog.system.rewrite_data_files"
+        "(table => 'proto_wh.curated')"
+    ]
+    overwrites = [s for s in wh.statements if s.startswith("INSERT OVERWRITE")]
+    assert len(overwrites) == 1
+    assert re.fullmatch(
+        r"INSERT OVERWRITE proto_wh\.host_counts "
+        r"SELECT \* FROM proto_wh\.host_counts__stage_\w+",
+        overwrites[0],
+    )
+    # ordering: both table rewrites precede the single log publish (the
+    # clash check runs right after the log append)
+    clash_idx = max(
+        i for i, s in enumerate(wh.statements) if "commit_uuid <>" in s
+    )
+    assert all(
+        wh.statements.index(s) < clash_idx for s in rewrites + overwrites
+    )
+    assert not any("expire_snapshots" in s for s in wh.statements)
+
+    # reads at the new snapshot: folded ledger, unchanged corpus rows
+    assert wh.read(None, "host_counts").rows == [{"host": "h", "n": 3}]
+    assert {r["url"] for r in wh.read(None, "curated").rows} == {"u1", "u2"}
+    # time travel to the pre-compaction logical snapshots still resolves
+    assert len(wh.read(None, "host_counts", snapshot_id=2).rows) == 2
+    assert len(wh.read(None, "curated", snapshot_id=1).rows) == 1
+
+
+def test_compact_rolls_back_orphans_and_optionally_expires(wh):
+    """A crashed append (table snapshot ahead of the log) is rolled back
+    BEFORE the rewrite so it can't fold into the compacted state; with
+    retain_last, expire_snapshots runs AFTER the publish."""
+    wh.commit({"curated": [wh.stage(_df(("u1", "a")), "curated")]})
+    published = wh._iceberg_snapshot(wh._full("curated"))
+    wh.plant_orphan_append("curated", [{"url": "ghost", "text": "x"}])
+
+    snap = wh.compact(None, {"curated": None}, retain_last=1)
+    assert snap == 2
+    stmts = wh.statements
+    rb = [i for i, s in enumerate(stmts) if "rollback_to_snapshot" in s]
+    rw = [i for i, s in enumerate(stmts) if "rewrite_data_files" in s]
+    exp = [i for i, s in enumerate(stmts) if "expire_snapshots" in s]
+    assert len(rb) == len(rw) == len(exp) == 1
+    assert rb[0] < rw[0] < exp[0]
+    assert stmts[rb[0]] == (
+        f"CALL spark_catalog.system.rollback_to_snapshot"
+        f"('proto_wh.curated', {published})"
+    )
+    assert stmts[exp[0]] == (
+        "CALL spark_catalog.system.expire_snapshots"
+        "(table => 'proto_wh.curated', retain_last => 1)"
+    )
+    # the ghost row never reaches the compacted state
+    assert {r["url"] for r in wh.read(None, "curated").rows} == {"u1"}
 
 
 def test_table_names_validated_as_identifiers():

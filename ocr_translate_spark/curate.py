@@ -740,6 +740,7 @@ def read_curated(
 # tier extraction: quality-bucketed, temperature-balanced corpus slices
 # ---------------------------------------------------------------------
 
+@_excluding_aqe_empty_rule
 def tiered_select(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -783,7 +784,14 @@ def tiered_select(
     extraction as ``out.filter("keep").write.partitionBy("tier")...``
     so downstream jobs prune to the tiers they train on; ``report``
     carries ``n_input`` / ``n_after_excise`` / ``tier_bounds`` and the
-    per-tier (total, kept) histogram (one aggregate action).
+    per-tier (total, kept) histogram.
+
+    Single-pass audit (same discipline as curate_corpus): every report
+    figure is an ``observe()`` metric of ONE terminal action — the only
+    other execution is the Greenwald-Khanna bounds sketch (none with
+    ``distributed_bounds=False``).  The previous design ran a count per
+    boundary plus a histogram collect, re-running the (expensive) excise
+    lineage once per probe.
 
     Scale shape: all tiering decisions (sketch, quota windows, lottery)
     run on a persisted NARROW (id, quality, group) projection — the
@@ -792,8 +800,10 @@ def tiered_select(
     standard lifecycle (``spark.catalog.clearCache()`` releases it).
     """
     report: dict = {}
-    report["n_input"] = df.count()
+    obs_input = Observation("tier_input")
+    df = df.observe(obs_input, F.count(F.lit(1)).alias("n"))
 
+    obs_excise = None
     if span_excise_n:
         cleaned = curation.excise_dup_spans(
             df, id_col, text_col, n=span_excise_n
@@ -809,7 +819,8 @@ def tiered_select(
             .filter(F.col("_kept_words") >= min_words)
             .drop("_kept_words")
         )
-        report["n_after_excise"] = df.count()
+        obs_excise = Observation("tier_excise")
+        df = df.observe(obs_excise, F.count(F.lit(1)).alias("n"))
 
     # tiering decisions run on a persisted NARROW (id, quality, group)
     # table — the quantile sketch, the quota windows, and the keep join
@@ -848,17 +859,37 @@ def tiered_select(
         keep_cols.remove(qcol)
     if group_col:
         decisions = decisions.drop(group_col)
+    # the per-tier histogram rides the same terminal action as the
+    # boundary counts: n_tiers is known up front, so (total, kept) per
+    # tier are 2*n_tiers observed aggregates, not a separate collect
+    obs_hist = Observation("tier_hist")
+    hist_metrics = []
+    for i in range(1, n_tiers + 1):
+        cond = F.col("tier") == i
+        hist_metrics.append(
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{i}")
+        )
+        hist_metrics.append(
+            F.sum(F.when(cond & F.col("keep"), 1).otherwise(0)).alias(f"k_{i}")
+        )
+    decisions = decisions.observe(obs_hist, *hist_metrics)
     out = df.join(decisions.select(*keep_cols), id_col)
-    hist = {
-        int(r["tier"]): (int(r["n"]), int(r["kept"]))
-        for r in decisions.groupBy("tier").agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("keep").cast("long")).alias("kept"),
-        ).collect()
-    }
-    report["tiers"] = dict(sorted(hist.items()))
     if quality_col is None:
         out = out.withColumnRenamed("_quality", "quality")
+
+    # ONE terminal action drives the whole audited plan (input count,
+    # excise count, histogram); the caller's write of `out` re-reads only
+    # the persisted narrow + one corpus scan
+    _audited_count(out)
+    report["n_input"] = int(obs_input.get["n"])
+    if obs_excise is not None:
+        report["n_after_excise"] = int(obs_excise.get["n"])
+    h = obs_hist.get
+    report["tiers"] = {
+        i: (int(h[f"n_{i}"] or 0), int(h[f"k_{i}"] or 0))
+        for i in range(1, n_tiers + 1)
+        if int(h[f"n_{i}"] or 0) > 0
+    }
     return out, report
 
 
@@ -868,6 +899,7 @@ TIER_COUNTS_TABLE = "tier_counts"  # (tier, grp, n_seen, n_kept) — quota ledge
 TIER_SEEN_TABLE = "tier_seen"      # (id) — processed-doc memo ledger
 
 
+@_excluding_aqe_empty_rule
 def tiered_ingest(
     spark,
     warehouse_root: str,
@@ -917,6 +949,15 @@ def tiered_ingest(
     Kept rows, seen ids, count deltas, and (first batch) bounds publish
     in ONE atomic commit.
 
+    Single-pass audit (the same discipline as curate_incremental): a
+    batch runs exactly ONE probe action (the ledger anti-join count,
+    which also yields ``n_batch`` as an observed metric and fills the
+    batch-scan cache) plus one tiny bounds read (GK sketch on the first
+    batch, a collect of the frozen cutoffs after) — ``n_kept`` and the
+    per-tier histogram are ``observe()`` metrics completed by the stage
+    writes themselves.  A replayed batch short-circuits at the probe:
+    EXACTLY one execution, no tier plan built, no staging, no snapshot.
+
     Returns ``(kept_df, report)``.  ``kept_df`` comes back CACHED (the
     commit materialized it); the caller owns the unpersist — the
     streaming sink drops it per batch (run_tiered_stream).
@@ -926,10 +967,15 @@ def tiered_ingest(
 
     wh = open_warehouse(spark, warehouse_root)
     id_dt = batch.schema[id_col].dataType.simpleString()
-    rep: dict = {"n_batch": batch.count()}
+    rep: dict = {}
+    obs_batch = Observation("ti_batch")
+    batch = batch.observe(obs_batch, F.count(F.lit(1)).alias("n"))
 
     seen_ids = wh.read(spark, TIER_SEEN_TABLE, schema=f"{id_col} {id_dt}")
-    new = batch.join(seen_ids.select(id_col), id_col, "left_anti")
+    # persisted: the probe action below fills this cache, so the raw
+    # batch is scanned ONCE per ingest however many consumers follow
+    # (tier join, seen-ids stage) — the r6 design re-scanned it per count
+    new = batch.join(seen_ids.select(id_col), id_col, "left_anti").persist()
 
     qcol = quality_col or "_quality"
     grp = F.col(group_col) if group_col else F.lit("")
@@ -941,18 +987,35 @@ def tiered_ingest(
     else:
         narrow = new.select(*narrow_cols, F.col(qcol))
     narrow = narrow.persist()
+    # the ONE probe action: n_new is its result, n_batch its observed
+    # metric, and it materializes the new/narrow caches
     rep["n_new"] = narrow.count()
+    rep["n_batch"] = int(obs_batch.get["n"])
 
-    stored_bounds = wh.read(
-        spark, TIER_BOUNDS_TABLE, schema="tier long, cutoff double"
-    ).collect()
+    if rep["n_new"] == 0:
+        # replay (or empty batch): nothing to tier, nothing to commit —
+        # return before ANY tier plan is built, with exactly the one
+        # probe execution spent (replay-is-a-no-op is the family's
+        # headline contract; make it free)
+        rep.update(n_kept=0, kept_per_tier={},
+                   snapshot_id=wh.current_snapshot_id())
+        empty = new.limit(0).withColumn("tier", F.lit(None).cast("long"))
+        if quality_col is None:
+            empty = empty.withColumn("quality", F.lit(None).cast("double"))
+        narrow.unpersist()
+        new.unpersist()
+        return empty, rep
+
+    # tier cutoffs: tiny — the frozen bounds are ≤ n_tiers rows, and the
+    # first batch (no committed bounds table: the read raises the
+    # empty-table ValueError without touching Spark) sketches them from
+    # the already-cached narrow
+    try:
+        stored_bounds = wh.read(spark, TIER_BOUNDS_TABLE).collect()
+    except ValueError:
+        stored_bounds = []
     first_batch = not stored_bounds
     if first_batch:
-        if rep["n_new"] == 0:
-            rep.update(first_batch=True, n_kept=0,
-                       snapshot_id=wh.current_snapshot_id())
-            narrow.unpersist()
-            return new.limit(0), rep
         bounds = cops.approx_tier_bounds(
             narrow, qcol, n_tiers=n_tiers, relative_error=relative_error
         )
@@ -1020,24 +1083,24 @@ def tiered_ingest(
         # surface the internally-computed score; a caller-provided
         # quality column is already on the batch rows
         sel.append(F.col(qcol).alias("quality"))
-    out = new.join(kept.select(*sel), id_col).persist()
-    rep["n_kept"] = out.count()
-
-    kept_cells = kept.groupBy("tier", "_grp").agg(F.count("*").alias("_nk"))
-    rep["kept_per_tier"] = {
-        int(r["tier"]): int(r["n"]) for r in
-        kept_cells.groupBy("tier").agg(F.sum("_nk").alias("n")).collect()
-    }
-
-    if rep["n_new"] == 0:
-        rep["snapshot_id"] = wh.current_snapshot_id()
-        narrow.unpersist()
-        kept.unpersist()
-        return out, rep
+    # n_kept + the per-tier histogram are observed metrics of the TIERED
+    # stage write itself (which also materializes out's cache and kept's)
+    # — no count(), no collect()
+    obs_out = Observation("ti_out")
+    out_metrics = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.when(F.col("tier") == i, 1).otherwise(0)).alias(f"t_{i}")
+        for i in range(1, n_tiers + 1)
+    ]
+    out = (
+        new.join(kept.select(*sel), id_col)
+        .observe(obs_out, *out_metrics)
+        .persist()
+    )
 
     # delta rows: EVERY seen doc counts toward future allowances, kept
     # or not; kept counts come from the same kept set the corpus append
     # uses, so the ledger can never drift from the table
+    kept_cells = kept.groupBy("tier", "_grp").agg(F.count("*").alias("_nk"))
     delta = (
         cells.select("tier", "_grp", F.col("_m_batch").alias("n_seen"))
         .join(kept_cells, ["tier", "_grp"], "left")
@@ -1058,6 +1121,14 @@ def tiered_ingest(
         )
         staged[TIER_BOUNDS_TABLE] = [wh.stage(bounds_df, TIER_BOUNDS_TABLE)]
     rep["snapshot_id"] = wh.commit(staged)
+    m = obs_out.get
+    rep["n_kept"] = int(m["n"])
+    rep["kept_per_tier"] = {
+        i: int(m[f"t_{i}"] or 0)
+        for i in range(1, n_tiers + 1)
+        if int(m[f"t_{i}"] or 0) > 0
+    }
     narrow.unpersist()
+    new.unpersist()
     kept.unpersist()
     return out, rep

@@ -384,6 +384,80 @@ def test_tiered_select_composition(spark):
     assert len(tiers2) == 40 and set(tiers2) == {1, 2, 3, 4}
 
 
+def test_tiered_select_single_pass(spark):
+    """tiered_select's report (input count, histogram) rides ONE
+    terminal action as observe() metrics; the only other execution is
+    the GK bounds sketch — none on the exact-ntile path (the r6 design
+    ran two counts + a histogram collect per call)."""
+    from ocr_translate_spark.curate import tiered_select
+
+    df = spark.createDataFrame(
+        [(i, "w%d" % i, (i * 37 % 100) / 100.0, "g%d" % (i % 2))
+         for i in range(60)],
+        "doc_id long, text string, q double, grp string",
+    )
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsCount()
+    _, rep = tiered_select(
+        df, quality_col="q", group_col="grp", n_tiers=4, quota_coeff=2.0,
+        distributed_bounds=False,
+    )
+    mid = store.executionsCount()
+    assert mid - before == 1, (before, mid)
+    assert rep["n_input"] == 60
+
+    _, rep2 = tiered_select(
+        df, quality_col="q", group_col="grp", n_tiers=4, quota_coeff=2.0,
+        distributed_bounds=True,
+    )
+    after = store.executionsCount()
+    assert after - mid == 2, (mid, after)  # sketch + the audited action
+    assert rep2["n_input"] == 60 and len(rep2["tier_bounds"]) == 3
+
+
+def test_tiered_ingest_single_pass(spark, tmp_path):
+    """Each tier-ingest batch's audit phase is at most TWO executions —
+    the ledger-anti-join probe (n_batch/n_new) plus one tiny bounds
+    read/sketch — with n_kept and the per-tier histogram observed on the
+    stage writes themselves; a replayed batch short-circuits at the
+    probe: EXACTLY one execution, no tier plan, no staging, no snapshot
+    (the r6 design ran 3 counts + 2 collects per batch, replay
+    included)."""
+    from ocr_translate_spark.curate import tiered_ingest
+    from ocr_translate_spark.io.tables import open_warehouse
+
+    wh_root = str(tmp_path / "wh")
+    schema = "doc_id long, text string, q double, grp string"
+    rows = [(i, "body %d" % i, (i * 37 % 100) / 100.0, "g%d" % (i % 2))
+            for i in range(80)]
+    b1 = spark.createDataFrame(rows[:40], schema)
+    b2 = spark.createDataFrame(rows[40:], schema)
+    kw = dict(quality_col="q", group_col="grp", n_tiers=2, quota_coeff=1.0)
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsCount()
+    out1, _ = tiered_ingest(spark, wh_root, b1, **kw)
+    mid = store.executionsCount()
+    # probe + GK sketch + 4 stage writes (tiered/seen/counts/bounds)
+    assert mid - before == 2 + 4, (before, mid)
+    out1.unpersist()
+
+    out2, _ = tiered_ingest(spark, wh_root, b2, **kw)
+    after2 = store.executionsCount()
+    # probe + frozen-bounds collect + 3 stage writes (no bounds table)
+    assert after2 - mid == 2 + 3, (mid, after2)
+    out2.unpersist()
+
+    wh = open_warehouse(spark, wh_root)
+    snap_before = wh.current_snapshot_id()
+    before_r = store.executionsCount()
+    _, rep_r = tiered_ingest(spark, wh_root, b2, **kw)
+    after_r = store.executionsCount()
+    assert rep_r["n_new"] == 0 and rep_r["n_kept"] == 0
+    assert after_r - before_r == 1, (before_r, after_r)
+    assert wh.current_snapshot_id() == snap_before
+
+
 def test_tiered_ingest_cross_batch_quota_convergence(spark, tmp_path):
     """The incremental-tiering contract: frozen first-batch bounds,
     monotone top-up allowances, ledger idempotence — and after any batch

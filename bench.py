@@ -252,6 +252,35 @@ def main() -> int:
         query_reps[name] = reps
         timings[name] = round(min(reps), 3)
 
+    # closing-window gate: a run can START clean and collapse mid-loop
+    # (r6: window_after 0.674 with a 7.7 s minhash rep went unflagged —
+    # the opening gate can't see it). If the closing window is below the
+    # bar, wait for a clean one and re-run the tail queries whose best
+    # rep drifted above their prior; only if the window never clears does
+    # the artifact carry closing_window_degraded=true.
+    window_after = window_quality()
+    closing_retries: dict[str, int] = {}
+    closing_window_degraded = window_after["parallel_32"] < MIN_WINDOW_QUALITY
+    if closing_window_degraded:
+        window_after, after_waits, closing_window_degraded = (
+            await_clean_window()
+        )
+        window_waits += after_waits
+        if not closing_window_degraded:
+            for name in BENCH_QUERIES:
+                ref = prior.get(name)
+                if not ref or timings[name] <= 1.25 * ref:
+                    continue
+                fn = QUERY_FNS[name]
+                for _ in range(2):
+                    t0 = time.monotonic()
+                    fn(spark, SF_DIR).count()
+                    query_reps[name].append(
+                        round(time.monotonic() - t0, 3)
+                    )
+                    closing_retries[name] = closing_retries.get(name, 0) + 1
+                timings[name] = round(min(query_reps[name]), 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "extraction_pipeline_and_operator_bench",
@@ -280,7 +309,14 @@ def main() -> int:
         # hypervisor-noise-dominated and must not be read as regressions
         "window_waits": window_waits,
         "window_degraded": window_degraded,
-        "window_after": window_quality(),
+        # closing-window verdict: measured AFTER the query loop (and after
+        # any clean-window tail re-runs); true = the run's tail figures
+        # are noise-dominated and the gate could not recover a clean
+        # window. closing_retries = tail queries re-run in the recovered
+        # clean window because their best-of drifted >1.25x their prior.
+        "window_after": window_after,
+        "closing_window_degraded": closing_window_degraded,
+        "closing_retries": closing_retries,
     }))
     return 0
 

@@ -666,6 +666,7 @@ def compact_warehouse(
     tables = tables if tables is not None else [
         CURATED_TABLE, KEYS_TABLE, SIGS_TABLE, BANDS_TABLE, HOSTS_TABLE,
         TIERED_TABLE, TIER_BOUNDS_TABLE, TIER_COUNTS_TABLE, TIER_SEEN_TABLE,
+        TIER_QUALS_TABLE,
     ]
     n_parts = target_files or spark.sparkContext.defaultParallelism
 
@@ -897,6 +898,7 @@ TIERED_TABLE = "tiered"            # (id, text, ..., quality, tier) — kept doc
 TIER_BOUNDS_TABLE = "tier_bounds"  # (tier, cutoff) — frozen thresholds
 TIER_COUNTS_TABLE = "tier_counts"  # (tier, grp, n_seen, n_kept) — quota ledger
 TIER_SEEN_TABLE = "tier_seen"      # (id) — processed-doc memo ledger
+TIER_QUALS_TABLE = "tier_quals"    # (id, quality, grp) — seen-population scores
 
 
 @_excluding_aqe_empty_rule
@@ -1113,6 +1115,17 @@ def tiered_ingest(
         TIERED_TABLE: [wh.stage(out, TIERED_TABLE)],
         TIER_SEEN_TABLE: [wh.stage(new.select(id_col), TIER_SEEN_TABLE)],
         TIER_COUNTS_TABLE: [wh.stage(delta, TIER_COUNTS_TABLE)],
+        # the seen-population quality ledger (~16 B/doc — same narrow
+        # projection the decisions ran on, read from its cache): what
+        # makes retier_warehouse exact later, for kept AND rejected docs
+        TIER_QUALS_TABLE: [wh.stage(
+            narrow.select(
+                F.col(id_col),
+                F.col(qcol).cast("double").alias("quality"),
+                F.col("_grp").alias("grp"),
+            ),
+            TIER_QUALS_TABLE,
+        )],
     }
     if first_batch:
         bounds_df = spark.createDataFrame(
@@ -1132,3 +1145,180 @@ def tiered_ingest(
     new.unpersist()
     kept.unpersist()
     return out, rep
+
+
+@_excluding_aqe_empty_rule
+def retier_warehouse(
+    spark,
+    warehouse_root: str,
+    id_col: str = "doc_id",
+    *,
+    n_tiers: "int | None" = None,
+    quota_coeff: float = 8.0,
+    relative_error: float = 1e-3,
+    salt_shards: int = 16,
+    target_files: "int | None" = None,
+) -> "tuple[int, dict]":
+    """The periodic maintenance job :func:`tiered_ingest`'s frozen-bounds
+    design defers to: recompute tier cutoffs from the quality
+    distribution of EVERY document the warehouse has ever seen (kept or
+    rejected — the ``tier_quals`` ledger, ~16 B/doc), re-map the stored
+    ``tiered`` rows to the new tiers, re-apply the sqrt-temperature
+    quotas per new (tier, group) cell, and publish the rewritten
+    ``tiered`` + ``tier_bounds`` + ``tier_counts`` in ONE replace-commit
+    — so after months of drifting ingestion, tiers 1..n mean quantiles
+    of the real population again.
+
+    Exactness contract: the replacement ledger's ``n_seen`` per new cell
+    is the TRUE seen count (from ``tier_quals``), so post-re-tier
+    ingestion tops up each cell against the new bounds with the same
+    closed form as always — ``min(m_tot, floor(c*sqrt(m_tot))) -
+    kept_so_far`` — with no drift.  Cells whose stored keeps exceed the
+    recomputed quota are trimmed by the same deterministic two-level
+    md5 lottery the ingest path uses; cells under quota keep everything
+    stored (rejected docs' text is gone — their slots refill from
+    future batches).  Time travel to pre-re-tier snapshots still reads
+    the old tiers (replace-commits never rewrite history; on an Iceberg
+    catalog the rewrite rides ``INSERT OVERWRITE`` snapshots through
+    IcebergWarehouse.compact).
+
+    ``n_tiers=None`` keeps the stored tier count.  Raises ``ValueError``
+    on a warehouse with no committed bounds (nothing to re-tier) or no
+    ``tier_quals`` ledger (pre-r7 warehouse: the seen population's
+    scores were not recorded, so honest re-tiering is impossible —
+    re-ingest, or accept the frozen bounds).
+
+    Returns ``(snapshot_id, report)`` with old/new bounds and kept
+    counts.  Maintenance-scale job (a handful of actions over narrow
+    ledgers + one corpus-table rewrite); single-writer slot applies.
+    """
+    import inspect
+
+    from pyspark.sql import Window
+
+    from .io.tables import open_warehouse
+    from .operators import curation as cops
+
+    wh = open_warehouse(spark, warehouse_root)
+    try:
+        stored_bounds = wh.read(spark, TIER_BOUNDS_TABLE).collect()
+    except ValueError:
+        raise ValueError(
+            "retier_warehouse: no committed tier_bounds — run tiered_ingest "
+            "first (nothing to re-tier)"
+        ) from None
+    try:
+        quals = wh.read(spark, TIER_QUALS_TABLE)
+    except ValueError:
+        raise ValueError(
+            "retier_warehouse: no tier_quals ledger — this warehouse predates "
+            "the seen-population score ledger, so bounds cannot be recomputed "
+            "honestly (kept-only quantiles are quota-biased); re-ingest to "
+            "rebuild it"
+        ) from None
+    old_bounds = [
+        r["cutoff"] for r in sorted(stored_bounds, key=lambda r: r["tier"])
+    ]
+    if n_tiers is None:
+        n_tiers = len(old_bounds) + 1
+
+    quals = quals.persist()
+    bounds = cops.approx_tier_bounds(
+        quals, "quality", n_tiers=n_tiers, relative_error=relative_error
+    )
+
+    t = F.lit(1)
+    for b in bounds:
+        t = t + F.when(F.col("quality") < b, 1).otherwise(0)
+    assigned = quals.withColumn("_rt_tier", t.cast("long"))
+    cells = (
+        assigned.groupBy("_rt_tier", "grp")
+        .agg(F.count("*").alias("n_seen"))
+        .withColumn(
+            "_rt_quota",
+            F.least(
+                F.col("n_seen"),
+                F.floor(F.lit(float(quota_coeff))
+                        * F.sqrt(F.col("n_seen").cast("double"))),
+            ).cast("long"),
+        )
+    )
+
+    stored = wh.read(spark, TIERED_TABLE)
+    out_cols = list(stored.columns)
+    # candidates = stored keeps re-mapped to their new tier; the stored
+    # table is already quota-bounded (≤ c*sqrt(m) per old cell), so this
+    # side is small next to the corpus scan that produced it
+    cand = stored.drop("tier").join(
+        assigned.select(
+            F.col(id_col), F.col("_rt_tier"), F.col("grp").alias("_rt_grp")
+        ),
+        id_col,
+    )
+    sized = cand.join(
+        F.broadcast(cells.withColumnRenamed("grp", "_rt_grp")),
+        ["_rt_tier", "_rt_grp"],
+    )
+    rkey = F.md5(F.col(id_col).cast("string"))
+    order = [rkey, F.col(id_col)]
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit("rt")),
+                  F.lit(salt_shards))
+    w1 = Window.partitionBy("_rt_tier", "_rt_grp", salt).orderBy(*order)
+    pruned = (
+        sized.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= F.col("_rt_quota"))
+        .drop("_rn1")
+    )
+    w2 = Window.partitionBy("_rt_tier", "_rt_grp").orderBy(*order)
+    kept = (
+        pruned.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= F.col("_rt_quota"))
+        .withColumn("tier", F.col("_rt_tier"))
+    )
+    obs_kept = Observation("rt_kept")
+    new_tiered = kept.select(*out_cols).observe(
+        obs_kept, F.count(F.lit(1)).alias("n")
+    )
+
+    # replacement ledger: exact seen counts per NEW cell + what survived
+    kept_cells = kept.groupBy("_rt_tier", "_rt_grp").agg(
+        F.count("*").alias("n_kept")
+    )
+    new_counts = (
+        cells.withColumnRenamed("grp", "_rt_grp")
+        .join(kept_cells, ["_rt_tier", "_rt_grp"], "left")
+        .select(
+            F.col("_rt_tier").alias("tier"),
+            F.col("_rt_grp").alias("grp"),
+            "n_seen",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+    bounds_df = spark.createDataFrame(
+        [(i + 1, float(b)) for i, b in enumerate(bounds)],
+        "tier long, cutoff double",
+    )
+
+    replacements = {
+        TIERED_TABLE: new_tiered,
+        TIER_BOUNDS_TABLE: bounds_df,
+        TIER_COUNTS_TABLE: new_counts,
+    }
+    if "replace" in inspect.signature(wh.commit).parameters:
+        n_parts = target_files or spark.sparkContext.defaultParallelism
+        staged = {
+            tbl: [wh.stage(df.repartition(n_parts), tbl)]
+            for tbl, df in replacements.items()
+        }
+        snap = wh.commit(staged, replace=set(staged))
+    else:
+        snap = wh.compact(spark, replacements)
+    rep = {
+        "snapshot_id": snap,
+        "old_bounds": old_bounds,
+        "new_bounds": bounds,
+        "n_tiers": n_tiers,
+        "n_kept": int(obs_kept.get["n"]),
+    }
+    quals.unpersist()
+    return snap, rep

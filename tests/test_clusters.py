@@ -215,6 +215,20 @@ def test_quality_tiers_salted_equals_unsalted(spark):
     assert kept_salted == kept_plain and kept_salted
 
 
+def test_approx_tier_bounds_single_tier_degenerate(spark):
+    # n_tiers=1 is legal: no cutoffs (pure sqrt-quota sampling) and no
+    # sketch pass — approxQuantile rejects an empty probability list, so
+    # the guard must short-circuit before it (found by the round-7
+    # hostile-cell probe driving tiered_ingest with n_tiers=1)
+    df = _scored(spark, 9)
+    assert curation.approx_tier_bounds(df, "quality", n_tiers=1) == []
+    out = curation.quality_tiers(
+        df, id_col="doc_id", quality_col="quality",
+        n_tiers=1, tier_bounds=[], quota_coeff=2.0).collect()
+    assert {r["tier"] for r in out} == {1}
+    assert sum(r["keep"] for r in out) == min(9, math.floor(2.0 * math.sqrt(9)))
+
+
 def test_quality_tiers_bounds_path_closed_form(spark):
     # the distributed threshold path: tier = 1 + #(bounds strictly above
     # quality), so a doc AT a bound goes to the better tier (the ntile

@@ -266,6 +266,66 @@ def test_embedding_near_dups_threshold(spark):
     assert not any(3 in p for p in ids)
 
 
+def test_semantic_dedup_groups_transitive_and_keeps_outlier(spark):
+    """SemDeDup closed form: a transitive near-identical triple collapses
+    to one representative — the member FARTHEST from its cell centroid
+    (paper policy) — distinct docs and a zero-norm row stay singleton
+    reps, and every input row comes back exactly once."""
+    import math
+
+    # group A: 1~2 and 2~3 near-identical (transitive chain); doc 3 is
+    # the angular outlier of the group.  B: two orthogonal singletons.
+    a = [1.0, 0.0, 0.0, 0.0]
+    a2 = [math.cos(0.02), math.sin(0.02), 0.0, 0.0]
+    a3 = [math.cos(0.04), math.sin(0.04), 0.0, 0.0]
+    rows = [
+        (1, a), (2, a2), (3, a3),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 1.0]),
+        (6, [0.0, 0.0, 0.0, 0.0]),  # zero-norm: undefined cosine
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.semantic_dedup(
+        df, threshold=0.999, n_cells=2, sample_size=6
+    ).collect()
+    assert sorted(r["vec_id"] for r in out) == [1, 2, 3, 4, 5, 6]
+    by_id = {r["vec_id"]: r for r in out}
+    # 1,2,3 one group labeled by min id; cos(1,3)=cos(0.04)<0.999 but the
+    # chain through 2 merges them
+    assert {by_id[i]["sem_cluster"] for i in (1, 2, 3)} == {1}
+    assert all(by_id[i]["sem_cluster"] == i for i in (4, 5, 6))
+    assert all(by_id[i]["is_rep"] for i in (4, 5, 6))
+    # exactly one rep in the group, and it is the centroid-farthest
+    # member: centroid ~ mean direction of {1,2,3} (plus any cell mates),
+    # so doc 1 or 3 — never the middle doc 2
+    reps = [i for i in (1, 2, 3) if by_id[i]["is_rep"]]
+    assert len(reps) == 1 and reps[0] != 2
+    # caller rep_order overrides: highest score wins
+    order = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 7)], "vec_id long, score double"
+    )
+    out2 = similarity.semantic_dedup(
+        df, threshold=0.999, n_cells=2, sample_size=6, rep_order=order
+    ).collect()
+    by2 = {r["vec_id"]: r for r in out2}
+    assert [i for i in (1, 2, 3) if by2[i]["is_rep"]] == [3]
+
+
+def test_semantic_dedup_cell_boundary_miss_documented(spark):
+    """The inherent SemDeDup trade: a near-identical pair split across
+    cells is missed (recall is a function of n_cells).  With n_cells=1
+    the same pair IS found — pinning that the miss comes from the cell
+    structure, not the pair scorer."""
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9995, 0.0316]),   # near-identical
+        (3, [-1.0, 0.0]), (4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    one = similarity.semantic_dedup(df, threshold=0.99, n_cells=1, sample_size=4)
+    got = {r["vec_id"]: r["sem_cluster"] for r in one.collect()}
+    assert got[1] == got[2] == 1 and got[3] == 3 and got[4] == 4
+
+
 # -------------------------------------------------------------- catalog
 
 def test_catalog_ops(spark, events):

@@ -876,3 +876,149 @@ def semantic_dedup(
         (F.col(id_col) == F.col("_rep_id")).alias("is_rep"),
     )
     return out
+
+
+def centroids_to_df(spark, centroids: np.ndarray) -> DataFrame:
+    """(cell long, centroid array<double>) — the storable form of a
+    trained quantizer, so the semantic index's centroids live in the
+    warehouse next to the cell table and survive the driver."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell long, centroid array<double>",
+    )
+
+
+def centroids_from_df(df: DataFrame) -> np.ndarray:
+    """Inverse of :func:`centroids_to_df` (cell-ordered)."""
+    rows = df.orderBy("cell").collect()
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def semantic_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 7,
+    sample_size: int = 2048,
+    centroids: np.ndarray | None = None,
+) -> "tuple[np.ndarray, DataFrame]":
+    """The persistent index for continuous semantic dedup:
+    ``(centroids, cells)`` where ``cells`` is ``(id, cell, cell_cos)``
+    (~24 B/doc).  Write the cells table (and
+    :func:`centroids_to_df` of the centroids) to the warehouse next to
+    the stored embeddings; each later batch then dedups against the
+    corpus via :func:`incremental_semantic_candidates` WITHOUT
+    re-assigning a single stored document.  The centroids are FROZEN at
+    first training — the same discipline as tiered_ingest's frozen tier
+    bounds (cell semantics never drift with batch composition;
+    re-clustering after heavy distribution drift is a periodic
+    maintenance rebuild, the retier_warehouse analog).  Zero-norm rows
+    are excluded (they are nobody's near-duplicate)."""
+    base = df.select(id_col, vec_col).filter(_nonzero_vec(F.col(vec_col)))
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            base, id_col, vec_col, n_cells=n_cells, seed=seed,
+            sample_size=sample_size,
+        )
+    cells = _assign_cell_with_sim(
+        base.select(F.col(id_col).alias("id"), F.col(vec_col)),
+        centroids, vec_col,
+    ).select("id", "cell", "cell_cos")
+    return centroids, cells
+
+
+def incremental_semantic_candidates(
+    new_df: DataFrame,
+    centroids: np.ndarray,
+    index_cells: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Continuous-ingestion semantic dedup: near-identical pairs
+    ``(id_a, id_b)`` TOUCHING the new batch — new-vs-corpus plus
+    new-vs-new — against a stored :func:`semantic_index`, assigning
+    cells only for the new documents.
+
+    Equivalence contract (pinned by pytest): the result equals the
+    batch :func:`semantic_dedup` edge set over ``corpus UNION new``
+    with the SAME frozen centroids, restricted to pairs with at least
+    one new endpoint (corpus-internal pairs were already found when the
+    corpus itself was ingested).  Ids must be globally unique across
+    corpus and batch — the same content-address discipline the
+    extraction ledger enforces.
+
+    Scale shape: the new batch assigns to the frozen centroids in one
+    Arrow pass; only the TOUCHED cells' stored members are read — a
+    semi join of the slim ``(id, cell)`` index against the new batch's
+    cell set prunes the corpus BEFORE its vectors are fetched by id
+    (embeddings never ride the cell semi join) — and the per-cell
+    blocked matmul scores new-rows x all-members only (never
+    stored-vs-stored).  ``corpus`` is the stored ``(id, vec)`` source;
+    with the embeddings table partitioned by id-hash the fetch is the
+    standard keyed join."""
+    new_cells = _assign_cell_with_sim(
+        new_df.select(F.col(id_col).alias("id"), F.col(vec_col))
+        .filter(_nonzero_vec(F.col(vec_col))),
+        centroids, vec_col,
+    ).select("id", F.col(vec_col), "cell", F.lit(True).alias("_new")).persist()
+
+    touched = new_cells.select("cell").distinct()
+    # slim (id, cell) rows of touched cells only, then vectors by id —
+    # shuffle_hash on the broadcastable-sized new side is NOT safe to
+    # assume at 10^12 docs, so both joins stay strategy-free (AQE picks)
+    old_members = (
+        index_cells.join(touched, "cell", "left_semi")
+        .select("id", "cell")
+        .join(
+            corpus.select(
+                F.col(id_col).alias("id"), F.col(vec_col)
+            ),
+            "id",
+        )
+        .select("id", F.col(vec_col), "cell", F.lit(False).alias("_new"))
+    )
+    members = new_cells.select("id", vec_col, "cell", "_new").unionByName(old_members)
+
+    thr = float(threshold)
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64")})
+        m = len(pdf)
+        n_new = int(pdf["_new"].sum())
+        if m < 2 or n_new == 0:
+            return empty
+        # new rows first so the blocked matmul runs new x all only
+        pdf = pd.concat([pdf[pdf["_new"]], pdf[~pdf["_new"]]])
+        mat = _stack(pdf[vec_col])
+        norms = np.sqrt(_ordered_dot(mat, mat))
+        unit = mat / np.maximum(norms, 1e-12)[:, None]
+        ids = pdf["id"].to_numpy()
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        block = 1024
+        for s in range(0, n_new, block):
+            # slab capped at n_new: the left side of the matmul must be
+            # NEW rows only, or a wide slab would re-score stored-vs-
+            # stored pairs the corpus ingest already found
+            sims = unit[s:min(s + block, n_new)] @ unit.T
+            rr, cc = np.nonzero(sims >= thr)
+            gi = rr + s
+            # each pair once: new-vs-new by position order; new-vs-old
+            # always (old rows sit at positions >= n_new, so cc > gi
+            # covers them too)
+            keep = cc > gi
+            out_a.append(ids[gi[keep]])
+            out_b.append(ids[cc[keep]])
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
+        })
+
+    return members.groupBy("cell").applyInPandas(
+        cell_pairs, "id_a long, id_b long"
+    )

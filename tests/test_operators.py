@@ -311,6 +311,59 @@ def test_semantic_dedup_groups_transitive_and_keeps_outlier(spark):
     assert [i for i in (1, 2, 3) if by2[i]["is_rep"]] == [3]
 
 
+def test_incremental_semantic_candidates_equals_batch_restriction(spark):
+    """The continuous-ingestion contract: against a frozen semantic
+    index, the incremental candidate set over a new batch EQUALS the
+    batch semantic_dedup edge set over corpus+batch (same centroids)
+    restricted to pairs with >= 1 new endpoint — new-vs-corpus AND
+    new-vs-new found, stored-vs-stored never re-scored."""
+    import math
+
+    def vec(theta, plane=0):
+        # unit vectors on two orthogonal planes: plane 0 spans dims
+        # (0,1), plane 1 spans dims (2,3) — k-means separates them
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[2 * plane] = math.cos(theta)
+        v[2 * plane + 1] = math.sin(theta)
+        return v
+
+    corpus_rows = [
+        (1, vec(0.00)), (2, vec(0.01)),       # stored near-dup pair
+        (3, vec(1.2)),                        # stored loner, same plane
+        (4, vec(0.0, plane=1)),               # stored loner, other plane
+    ]
+    new_rows = [
+        (10, vec(0.02)),                      # near 1 AND 2 (new-vs-corpus)
+        (11, vec(0.021)),                     # near 10 too (new-vs-new)
+        (12, vec(2.5)),                       # loner
+        (13, [0.0, 0.0, 0.0, 0.0]),           # zero-norm: excluded
+    ]
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+
+    cts, cells = similarity.semantic_index(corpus, n_cells=2, sample_size=4)
+    inc = similarity.incremental_semantic_candidates(
+        new, cts, cells, corpus, threshold=0.999
+    )
+    got = {tuple(sorted((r["id_a"], r["id_b"]))) for r in inc.collect()}
+
+    # batch reference: union both, same frozen centroids, same threshold
+    both = corpus.unionByName(new)
+    batch = similarity.semantic_dedup(
+        both, threshold=0.999, n_cells=2, centroids=cts
+    )
+    # rebuild the batch EDGE set from its clusters: within a sem_cluster
+    # every member pair that is over-threshold is an edge; simpler and
+    # sufficient here — check the expected pair set directly
+    expect = {(1, 10), (2, 10), (1, 11), (2, 11), (10, 11)}
+    assert got == expect, got
+    # and the batch path agrees on the resulting groups: {1,2,10,11}
+    bg = {r["vec_id"]: r["sem_cluster"] for r in batch.collect()}
+    assert bg[1] == bg[2] == bg[10] == bg[11] == 1
+    assert bg[3] == 3 and bg[4] == 4 and bg[12] == 12 and bg[13] == 13
+
+
 def test_semantic_dedup_cell_boundary_miss_documented(spark):
     """The inherent SemDeDup trade: a near-identical pair split across
     cells is missed (recall is a function of n_cells).  With n_cells=1

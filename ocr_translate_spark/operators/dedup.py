@@ -813,7 +813,14 @@ def connected_components(
         edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
         .filter(F.col("s") != F.col("d"))
         .distinct()
-        .localCheckpoint()
+        # LAZY like the in-loop checkpoints: round 0's convergence action
+        # materializes it — an eager checkpoint here ran a whole extra
+        # job over the caller's edge-build plan (~0.3 s of the sf0.1
+        # bench query).  Round 0 consuming e twice (groupBy + SHJ probe)
+        # is safe: both consumers hash b on s, so the exchange is reused
+        # and the edge build executes once (measured: removing the
+        # checkpoint entirely shows NO double-build jump).
+        .localCheckpoint(eager=False)
     )
     prev_sig = None
     converged = False

@@ -335,6 +335,7 @@ class IncrementalReport:
     n_after_exact_dedup: int = 0        # within batch + vs stored keys
     n_dropped_vs_corpus_exact: int = 0
     n_after_near_dedup: int = 0         # vs stored LSH index + within batch
+    n_after_semantic_dedup: int = 0     # vs stored semantic index + in batch
     n_after_decontamination: int = 0
     n_appended: int = 0
     snapshot_id: int = -1
@@ -344,7 +345,8 @@ class IncrementalReport:
         return {k: getattr(self, k) for k in (
             "n_batch", "n_new", "n_after_quality", "n_after_line_dedup",
             "n_after_exact_dedup", "n_dropped_vs_corpus_exact",
-            "n_after_near_dedup", "n_after_decontamination", "n_appended",
+            "n_after_near_dedup", "n_after_semantic_dedup",
+            "n_after_decontamination", "n_appended",
             "snapshot_id",
         )} | {"stages": list(self.stages)}
 
@@ -354,6 +356,9 @@ KEYS_TABLE = "curated_keys"        # (id, content_md5) — exact-dup index
 SIGS_TABLE = "dedup_sigs"          # (id, sig array<long>) — MinHash index
 BANDS_TABLE = "dedup_bands"        # (id, band, bucket) — LSH band index
 HOSTS_TABLE = "host_counts"        # (host, n) — log-structured quota ledger
+SEM_CENTROIDS_TABLE = "sem_centroids"  # (cell, centroid) — frozen quantizer
+SEM_CELLS_TABLE = "sem_cells"      # (id, cell, cell_cos) — semantic cell index
+SEM_VECS_TABLE = "sem_vecs"        # (id, embedding) — survivor vectors
 
 
 @_excluding_aqe_empty_rule
@@ -374,6 +379,9 @@ def curate_incremental(
     val_fraction: float = 0.1,
     scrub: bool = True,
     gopher_kwargs: dict | None = None,
+    embedding_col: str | None = None,
+    semantic_threshold: float = 0.95,
+    semantic_cells: int = 1024,
 ) -> "tuple[DataFrame, IncrementalReport]":
     """Curate ONE crawl batch against the warehouse-resident corpus and
     append the survivors atomically — the continuous-ingestion form of
@@ -387,7 +395,14 @@ def curate_incremental(
     * ``dedup_sigs`` / ``dedup_bands`` — the :func:`dedup.minhash_index`
       tables; each batch joins its own bands against the stored bands
       (dedup.incremental_minhash_candidates) — the 100 TB corpus text is
-      NEVER re-scanned, only its ~300 B/doc index.
+      NEVER re-scanned, only its ~300 B/doc index;
+    * with ``embedding_col``: ``sem_centroids`` / ``sem_cells`` /
+      ``sem_vecs`` — the :func:`similarity.semantic_index` tables
+      (SemDeDup).  Centroids freeze at the first embedded batch (the
+      tiered_ingest frozen-bounds discipline); each batch assigns only
+      ITSELF to them and scores new-vs-members inside touched cells
+      (similarity.incremental_semantic_candidates), corpus wins, then
+      smallest id within the batch.
 
     Batch flow: drop already-ingested ids (re-running a batch is a
     no-op — crash-resume idempotence); Gopher gate; per-batch line dedup
@@ -534,6 +549,75 @@ def curate_incremental(
     cur = observed(cur.join(drops, id_col, "left_anti"), "near_dedup")
     rep.stages.append("minhash_lsh_incremental")
 
+    # semantic dedup (SemDeDup) against the stored frozen-centroid index:
+    # same keeper policy as the MinHash stage (corpus wins; within-batch
+    # the smaller id wins).  Embeddings are recovered from the RAW batch
+    # by id (the payload stages projected them away); docs without a
+    # (nonzero) embedding carry no semantic signal and never drop here.
+    # Centroids FREEZE at the first embedded batch — the tiered_ingest
+    # frozen-bounds discipline; re-clustering is a periodic maintenance
+    # rebuild, not the hot path.
+    new_cells = None
+    sem_cands = None
+    first_sem = False
+    cts = None
+    if embedding_col is not None:
+        import numpy as np
+
+        from .operators import similarity as sim
+
+        emb_dt = batch.schema[embedding_col].dataType.simpleString()
+        sem_input = (
+            cur.select(id_col)
+            .join(batch.select(F.col(id_col), F.col(embedding_col)), id_col)
+            .filter(sim._nonzero_vec(F.col(embedding_col)))
+            .select(F.col(id_col).alias("id"), F.col(embedding_col))
+        )
+        cts_rows = (
+            wh.read(spark, SEM_CENTROIDS_TABLE,
+                    schema="cell bigint, centroid array<double>")
+            .orderBy("cell").collect()
+        )
+        first_sem = not cts_rows
+        if first_sem:
+            cts = sim.train_ivf_centroids(
+                sem_input, "id", embedding_col,
+                n_cells=semantic_cells, sample_size=4096,
+            )
+        else:
+            cts = np.array([r["centroid"] for r in cts_rows], dtype=np.float64)
+        if len(cts):
+            new_cells = sim._assign_cell_with_sim(
+                sem_input, cts, embedding_col
+            ).persist()
+            sem_index = wh.read(
+                spark, SEM_CELLS_TABLE,
+                schema=f"id {id_dt}, cell bigint, cell_cos double",
+            )
+            sem_vecs = wh.read(
+                spark, SEM_VECS_TABLE,
+                schema=f"id {id_dt}, embedding {emb_dt}",
+            ).select("id", F.col("embedding").alias(embedding_col))
+            sem_cands = sim.incremental_semantic_candidates(
+                None, None, sem_index, sem_vecs, "id", embedding_col,
+                threshold=semantic_threshold, new_cells=new_cells,
+            ).persist()
+            new_flag = cur.select(F.col(id_col).alias("_sn"))
+            drops_sem = (
+                sem_cands.join(new_flag, sem_cands["id_b"] == F.col("_sn"),
+                               "left")
+                .select(
+                    F.when(
+                        F.col("_sn").isNotNull(),
+                        F.greatest(F.col("id_a"), F.col("id_b")),
+                    ).otherwise(F.col("id_a")).alias(id_col)
+                )
+                .distinct()
+            )
+            cur = cur.join(drops_sem, id_col, "left_anti")
+        rep.stages.append("semantic_dedup_incremental")
+    cur = observed(cur, "semantic")
+
     if benchmark is not None:
         flags = dedup.decontaminate(cur, benchmark, id_col, text_col)
         clean_ids = flags.filter(~F.col("contaminated")).select(
@@ -563,6 +647,7 @@ def curate_incremental(
     rep.n_after_exact_dedup = n_of("exact_dedup")
     rep.n_dropped_vs_corpus_exact = n_of("batch_exact") - rep.n_after_exact_dedup
     rep.n_after_near_dedup = n_of("near_dedup")
+    rep.n_after_semantic_dedup = n_of("semantic")
     rep.n_after_decontamination = n_of("decontamination")
 
     if rep.n_appended == 0:
@@ -572,6 +657,10 @@ def curate_incremental(
         rep.stages.append("noop_commit")
         cached.unpersist()
         cands.unpersist()
+        if new_cells is not None:
+            new_cells.unpersist()
+        if sem_cands is not None:
+            sem_cands.unpersist()
         return out, rep
 
     # derive the index rows for the survivors and publish EVERYTHING in
@@ -589,6 +678,26 @@ def curate_incremental(
         SIGS_TABLE: [wh.stage(surv_sigs, SIGS_TABLE)],
         BANDS_TABLE: [wh.stage(surv_bands, BANDS_TABLE)],
     }
+    if embedding_col is not None and new_cells is not None:
+        # semantic index rows for the survivors ride the SAME atomic
+        # commit (the cells/vectors tables can never diverge from the
+        # corpus); docs without a nonzero embedding simply have no rows.
+        # Frozen centroids publish once, with the first embedded batch
+        # that actually appends (an all-rejected first batch retrains
+        # next time — nothing stored, nothing to drift from).
+        out_ids = out.select(F.col(id_col).alias("id"))
+        surv_cells = new_cells.join(out_ids, "id", "left_semi").select(
+            "id", "cell", "cell_cos"
+        )
+        surv_vecs = new_cells.join(out_ids, "id", "left_semi").select(
+            "id", F.col(embedding_col).alias("embedding")
+        )
+        staged[SEM_CELLS_TABLE] = [wh.stage(surv_cells, SEM_CELLS_TABLE)]
+        staged[SEM_VECS_TABLE] = [wh.stage(surv_vecs, SEM_VECS_TABLE)]
+        if first_sem:
+            staged[SEM_CENTROIDS_TABLE] = [wh.stage(
+                sim.centroids_to_df(spark, cts), SEM_CENTROIDS_TABLE
+            )]
     if max_per_host:
         # quota delta = hosts of the docs this batch ACTUALLY appends —
         # same atomic commit, so quota state never drifts from the corpus.
@@ -612,6 +721,10 @@ def curate_incremental(
     cached.unpersist()
     cands.unpersist()
     surv_sigs.unpersist()
+    if new_cells is not None:
+        new_cells.unpersist()
+    if sem_cands is not None:
+        sem_cands.unpersist()
     return out, rep
 
 
@@ -666,7 +779,8 @@ def compact_warehouse(
     tables = tables if tables is not None else [
         CURATED_TABLE, KEYS_TABLE, SIGS_TABLE, BANDS_TABLE, HOSTS_TABLE,
         TIERED_TABLE, TIER_BOUNDS_TABLE, TIER_COUNTS_TABLE, TIER_SEEN_TABLE,
-        TIER_QUALS_TABLE,
+        TIER_QUALS_TABLE, SEM_CENTROIDS_TABLE, SEM_CELLS_TABLE,
+        SEM_VECS_TABLE,
     ]
     n_parts = target_files or spark.sparkContext.defaultParallelism
 

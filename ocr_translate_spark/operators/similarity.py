@@ -929,13 +929,14 @@ def semantic_index(
 
 
 def incremental_semantic_candidates(
-    new_df: DataFrame,
-    centroids: np.ndarray,
+    new_df: "DataFrame | None",
+    centroids: "np.ndarray | None",
     index_cells: DataFrame,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    new_cells: "DataFrame | None" = None,
 ) -> DataFrame:
     """Continuous-ingestion semantic dedup: near-identical pairs
     ``(id_a, id_b)`` TOUCHING the new batch — new-vs-corpus plus
@@ -958,12 +959,25 @@ def incremental_semantic_candidates(
     blocked matmul scores new-rows x all-members only (never
     stored-vs-stored).  ``corpus`` is the stored ``(id, vec)`` source;
     with the embeddings table partitioned by id-hash the fetch is the
-    standard keyed join."""
-    new_cells = _assign_cell_with_sim(
-        new_df.select(F.col(id_col).alias("id"), F.col(vec_col))
-        .filter(_nonzero_vec(F.col(vec_col))),
-        centroids, vec_col,
-    ).select("id", F.col(vec_col), "cell", F.lit(True).alias("_new")).persist()
+    standard keyed join.
+
+    ``new_cells``: a caller that already assigned the batch (and needs
+    the assignments afterwards — curate_incremental stages them into
+    the warehouse commit) passes its ``(id, <vec_col>, cell, ...)``
+    frame here, owning its persist lifecycle; ``new_df``/``centroids``
+    are then ignored.  Without it the function assigns internally and
+    persists the batch-sized result (two consumers; released with the
+    standard cache lifecycle)."""
+    if new_cells is None:
+        new_cells = _assign_cell_with_sim(
+            new_df.select(F.col(id_col).alias("id"), F.col(vec_col))
+            .filter(_nonzero_vec(F.col(vec_col))),
+            centroids, vec_col,
+        ).persist()
+    new_cells = new_cells.select(
+        F.col("id") if "id" in new_cells.columns else F.col(id_col).alias("id"),
+        F.col(vec_col), "cell", F.lit(True).alias("_new"),
+    )
 
     touched = new_cells.select("cell").distinct()
     # slim (id, cell) rows of touched cells only, then vectors by id —
@@ -985,8 +999,8 @@ def incremental_semantic_candidates(
     thr = float(threshold)
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                              "id_b": pd.Series(dtype="int64")})
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=pdf["id"].dtype),
+                              "id_b": pd.Series(dtype=pdf["id"].dtype)})
         m = len(pdf)
         n_new = int(pdf["_new"].sum())
         if m < 2 or n_new == 0:
@@ -1019,6 +1033,9 @@ def incremental_semantic_candidates(
             "id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
         })
 
+    # pair ids carry the caller's id dtype (curate warehouses key on
+    # string urls; the standalone batch path keys on numeric vec ids)
+    pair_dt = dict(members.dtypes)["id"]
     return members.groupBy("cell").applyInPandas(
-        cell_pairs, "id_a long, id_b long"
+        cell_pairs, f"id_a {pair_dt}, id_b {pair_dt}"
     )

@@ -68,6 +68,14 @@ def main() -> int:
     ap.add_argument("--url-col", default=None)
     ap.add_argument("--max-per-host", type=int, default=None,
                     help="cross-batch per-host quota (needs --url-col)")
+    ap.add_argument("--embedding-col", default=None,
+                    help="enable SemDeDup against the warehouse semantic "
+                         "index (sem_centroids/sem_cells/sem_vecs): the "
+                         "docs column holding the embedding vector")
+    ap.add_argument("--semantic-threshold", type=float, default=0.95)
+    ap.add_argument("--semantic-cells", type=int, default=1024,
+                    help="frozen-quantizer cell count (scale with corpus; "
+                         "fixed after the first embedded batch)")
     ap.add_argument("--retier", action="store_true",
                     help="maintenance: recompute tier bounds from the full "
                          "seen-population quality ledger and rewrite "
@@ -195,6 +203,10 @@ def main() -> int:
         kw["gopher_kwargs"] = {"min_stopword_hits": args.min_stopword_hits}
     if args.max_per_host:
         kw.update(max_per_host=args.max_per_host, url_col=args.url_col)
+    if args.embedding_col:
+        kw.update(embedding_col=args.embedding_col,
+                  semantic_threshold=args.semantic_threshold,
+                  semantic_cells=args.semantic_cells)
     t0 = time.monotonic()
     if args.stream:
         from ocr_translate_spark.streaming.curate_stream import run_curation_stream

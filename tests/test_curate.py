@@ -675,3 +675,83 @@ def test_tiered_ingest_compaction_preserves_quota_state(spark, tmp_path):
            wh.read(spark, "tiered").groupBy("tier", "grp")
            .agg(F.count("*").alias("n")).collect()}
     assert got == expect
+
+
+def test_curate_incremental_semantic_index(spark, tmp_path):
+    """SemDeDup wired into the warehouse: batch 1 freezes the centroids
+    and stores the semantic index alongside the corpus; batch 2's
+    embedding near-dup of a STORED doc dies against the index (corpus
+    wins), its within-batch near-dup pair keeps the smaller id, fresh
+    and no-embedding docs append; the sem tables ride the same atomic
+    snapshot and a replay is a no-op.  Docs without a (nonzero)
+    embedding carry no semantic signal and never drop here."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ocr_translate_spark.curate import (
+        SEM_CELLS_TABLE, SEM_CENTROIDS_TABLE, SEM_VECS_TABLE,
+        curate_incremental,
+    )
+    from ocr_translate_spark.io.tables import open_warehouse
+
+    def vec(theta, plane=0):
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[2 * plane] = math.cos(theta)
+        v[2 * plane + 1] = math.sin(theta)
+        return v
+
+    wh_root = str(tmp_path / "wh")
+    kw = dict(min_words=10, scrub=False, embedding_col="emb",
+              semantic_threshold=0.999, semantic_cells=2)
+    schema = "doc_id long, text string, emb array<double>"
+    b1 = spark.createDataFrame(
+        [(0, _sentence(0), vec(0.0)),
+         (1, _sentence(1), vec(1.2)),
+         (2, _sentence(2), vec(0.0, plane=1))],
+        schema,
+    )
+    out1, rep1 = curate_incremental(spark, wh_root, b1, **kw)
+    assert rep1.n_appended == 3 and rep1.n_after_semantic_dedup == 3
+    assert "semantic_dedup_incremental" in rep1.stages
+    out1.unpersist()
+
+    wh = open_warehouse(spark, wh_root)
+    cts1 = {(r["cell"], tuple(r["centroid"]))
+            for r in wh.read(spark, SEM_CENTROIDS_TABLE).collect()}
+    assert len(cts1) == 2
+    assert wh.read(spark, SEM_CELLS_TABLE).count() == 3
+    assert wh.read(spark, SEM_VECS_TABLE).count() == 3
+    snap1 = wh.current_snapshot_id()
+
+    b2 = spark.createDataFrame(
+        [(10, _sentence(10), vec(0.005)),           # near STORED doc 0 -> dies
+         (11, _sentence(11), vec(1.5)),             # fresh -> kept
+         (12, _sentence(12), vec(1.502)),           # near 11 (new-new) -> dies
+         (13, _sentence(13), None),                 # no embedding -> kept
+         (14, _sentence(14), [0.0, 0.0, 0.0, 0.0])],  # zero vec -> kept
+        schema,
+    )
+    out2, rep2 = curate_incremental(spark, wh_root, b2, **kw)
+    kept2 = {r["doc_id"] for r in out2.collect()}
+    assert kept2 == {11, 13, 14}, kept2
+    assert rep2.n_after_near_dedup == 5          # minhash finds nothing
+    assert rep2.n_after_semantic_dedup == 3
+    out2.unpersist()
+
+    # one snapshot for the whole batch; centroids FROZEN (unchanged);
+    # index rows appended only for embedded survivors (11)
+    assert wh.current_snapshot_id() == snap1 + 1
+    cts2 = {(r["cell"], tuple(r["centroid"]))
+            for r in wh.read(spark, SEM_CENTROIDS_TABLE).collect()}
+    assert cts2 == cts1
+    cells = {r["id"] for r in wh.read(spark, SEM_CELLS_TABLE).collect()}
+    assert cells == {0, 1, 2, 11}
+    vecs = {r["id"] for r in wh.read(spark, SEM_VECS_TABLE).collect()}
+    assert vecs == {0, 1, 2, 11}
+
+    # replay of batch 2: ledger no-op, no snapshot burned
+    out3, rep3 = curate_incremental(spark, wh_root, b2, **kw)
+    assert rep3.n_appended == 0 and rep3.stages[-1] == "noop_commit"
+    assert wh.current_snapshot_id() == snap1 + 1
+    out3.unpersist()

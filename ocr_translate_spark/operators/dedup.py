@@ -130,33 +130,74 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard: (id_a, id_b, jaccard).
 
-    Shingle equi-join prunes the pair space: only documents sharing at
-    least one shingle are compared.  At 100 TB the shingle join is the
-    shuffle, and a hot shingle (a stopword-gram hitting k docs) emits
-    O(k^2) join rows — ``max_shingle_df`` drops shingles whose document
-    frequency exceeds the cap BEFORE the self-join.
+    Two exact physical plans behind one result (``strategy``):
 
-    Semantics under the cap: set sizes stay exact (taken pre-filter), the
-    shared count is computed over surviving shingles only, so reported
-    jaccard is a LOWER BOUND and pairs that share exclusively-hot shingles
-    are missed — the standard web-dedup trade (hot shingles carry no
-    near-dup signal; threshold >= 0.5 pairs share many rare shingles).
+    * ``"join"`` — inverted-index shingle equi-join.  Only docs sharing a
+      shingle ever meet; total join rows = sum over shingles of df^2.
+      The right shape for NORMAL web corpora, where the gram vocabulary
+      grows with the corpus and almost every gram is rare.
+    * ``"block"`` — blocked exact pair counting.  Docs keep their distinct
+      gram-hash set as ONE array column (no explode), are bucketed into
+      nb deterministic blocks, each doc rides the one grouped shuffle to
+      its nb block-pair tasks, and each (block_i, block_j) task counts
+      shared shingles for all its cross pairs with vectorized numpy over
+      local contiguous column codes (``np.unique`` of the exact 64-bit
+      gram hashes — no lossy re-hash, the dot count IS |A∩B|), emitting
+      the final thresholded pairs directly.  The right shape for DENSE
+      corpora (small vocabulary, hot shingles): the work stays sum df^2
+      multiply-adds, but as in-task numpy instead of shuffled join rows —
+      the r7 SemDeDup pair-stage lesson (its pair-join form measured 34x
+      slower) applied to exact Jaccard.
+    * ``"auto"`` — estimates the per-pair expected shared-shingle count
+      from a bounded 4096-doc sample (driver work is capped by the
+      explicit limit) and picks "block" when the join would emit more
+      bytes in pair rows than the block fanout ships in gram arrays.
+
+    At 100 TB exact all-pairs Jaccard is infeasible under EITHER plan
+    without pruning — ``max_shingle_df`` drops shingles whose document
+    frequency exceeds the cap (a hot stopword-gram hitting k docs emits
+    O(k^2) work).  Semantics under the cap: set sizes stay exact (taken
+    pre-filter), the shared count is computed over surviving shingles
+    only, so reported jaccard is a LOWER BOUND and pairs that share
+    exclusively-hot shingles are missed — the standard web-dedup trade.
     ``None`` = exact (no cap).
     """
-    sh = word_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+    wh = df.select(
+        F.col(id_col).alias("id"), _word_hash_array(F.col(text_col)).alias("_wh")
+    )
+    docs = wh.select(
+        "id",
+        _gram_hashes_from(F.col("_wh"), n).alias("grams"),
+    ).select("id", "grams", F.size("grams").cast("long").alias("set_size"))
     if max_shingle_df is not None:
+        sh = docs.select("id", "set_size", F.explode("grams").alias("shingle"))
         rare = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") <= max_shingle_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle")
+        docs = (
+            sh.join(rare, "shingle")
+            .groupBy("id", "set_size")
+            .agg(F.collect_list("shingle").alias("grams"))
+        )
 
+    if strategy == "auto":
+        strategy = _pick_jaccard_strategy(docs)
+    if strategy == "block":
+        return _jaccard_pairs_blocked(docs, threshold)
+    return _jaccard_pairs_join(docs, threshold)
+
+
+def _jaccard_pairs_join(docs: DataFrame, threshold: float) -> DataFrame:
+    """Inverted-index exact Jaccard over (id, grams, set_size) rows."""
+    sizes = docs.select("id", "set_size")
+    sh = docs.select("id", F.explode("grams").alias("shingle"))
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
@@ -164,7 +205,7 @@ def jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("shared"))
     )
-    out = (
+    return (
         shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
         .withColumn(
@@ -175,7 +216,179 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+
+
+def _pick_jaccard_strategy(docs: DataFrame, sample_rows: int = 4096) -> str:
+    """Choose join vs block from a bounded sample (exact either way).
+
+    Estimates E[shared shingles per random pair] from <= ``sample_rows``
+    docs' gram arrays (driver transfer bounded by the explicit limit: a
+    few hundred KB).  The join plan's pair-row bytes beat the block
+    plan's array fanout only when that expectation is tiny — i.e. the
+    vocabulary is large relative to the corpus (normal web text).  A
+    sample-density misread costs performance, never correctness."""
+    pdf = docs.select("grams").limit(sample_rows).toPandas()
+    m = len(pdf)
+    if m < 2:
+        return "join"
+    flat, lens = _flatten_long_arrays(pdf["grams"])
+    if flat.size == 0:
+        return "join"
+    _, counts = np.unique(flat, return_counts=True)
+    c = counts.astype(np.float64)
+    # E[|A∩B|] over unordered sample pairs
+    e_shared = float((c * c - c).sum()) / (m * (m - 1))
+    mean_set = float(lens.mean())
+    # join pair row ~24 B vs block fanout row ~(8*mean_set + 24) B per
+    # block copy; fanout multiplier ~n/BLOCK_DOCS cancels against the
+    # n^2 pair count, leaving a density threshold independent of n.
+    return (
+        "block"
+        if e_shared * 12.0 * _JACCARD_BLOCK_DOCS > (8.0 * mean_set + 24.0)
+        else "join"
+    )
+
+
+_JACCARD_BLOCK_DOCS = 8192  # docs per block; per-task memory ~2 blocks' arrays
+
+
+def _jaccard_pairs_blocked(docs: DataFrame, threshold: float) -> DataFrame:
+    """Blocked exact pair counting over (id, grams, set_size) rows.
+
+    ONE grouped shuffle: each doc is fanned out to its nb block-pair
+    tasks (deterministic xxhash64 bucket — rand() keys break under task
+    retry), then every (bi, bj) task counts shared shingles for all its
+    cross pairs in numpy and emits the final (id_a, id_b, jaccard) rows.
+    No pair row ever rides an exchange.
+    """
+    n_docs = docs.count()
+    if n_docs == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, jaccard double"
+        )
+    nb = max(1, -(-n_docs // _JACCARD_BLOCK_DOCS))
+    # floor for parallelism on small corpora: more (cheap) block pairs
+    # beat idle cores; both bounds derive from n, not the core count
+    nb = max(nb, min(8, -(-n_docs // 1024)))
+
+    fan = docs.select(
+        "id", "set_size", "grams",
+        F.pmod(F.xxhash64("id"), F.lit(nb)).alias("_blk"),
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("_o"),
+    ).select(
+        "id", "set_size", "grams", "_blk",
+        F.least("_blk", "_o").alias("bi"),
+        F.greatest("_blk", "_o").alias("bj"),
+    )
+
+    thr = float(threshold)
+
+    def count_pairs(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+        flat, lens = _flatten_long_arrays(pdf["grams"])
+        if flat.size == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+            )
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        sizes = pdf["set_size"].to_numpy(dtype=np.int64)
+        blk = pdf["_blk"].to_numpy(dtype=np.int64)
+        # local contiguous column codes for the EXACT 64-bit gram hashes
+        cols = np.unique(flat, return_inverse=True)[1]
+        rows = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+        left_rows = np.arange(len(pdf), dtype=np.int64)[blk == bi]
+        right_rows = np.arange(len(pdf), dtype=np.int64)[blk == bj]
+        if left_rows.size == 0 or right_rows.size == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+            )
+        # compact per-side row numbering
+        side_code = np.full(len(pdf), -1, dtype=np.int64)
+        side_code[right_rows] = np.arange(right_rows.size)
+        n_right = right_rows.size
+        # right-side inverted index: entries sorted by column
+        r_mask = blk[rows] == bj
+        r_cols, r_rowno = cols[r_mask], side_code[rows[r_mask]].astype(np.int32)
+        order = np.argsort(r_cols, kind="stable")
+        r_cols, r_rowno = r_cols[order], r_rowno[order]
+        n_cols = int(cols.max()) + 1
+        col_counts = np.bincount(r_cols, minlength=n_cols)
+        col_offsets = np.concatenate(([0], np.cumsum(col_counts)[:-1]))
+        # left entries -> one pair code per (left entry, right doc in col);
+        # counted with chunked bincount (O(pair codes), no sort) — left
+        # docs are processed in slices small enough that the dense
+        # (chunk_docs x n_right) count array stays ~64 MB
+        l_mask = blk[rows] == bi
+        l_cols, l_rowglob = cols[l_mask], rows[l_mask]
+        if l_cols.size == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+            )
+        out_a, out_b, out_j = [], [], []
+        # chunk the left docs so the bincount span stays L3-resident
+        # (measured 3x over an 8M-entry span: the scatter is cache-bound)
+        chunk_docs = max(1, (512 << 10) // max(n_right, 1))
+        # exact-safe count prefilter: any pair with jaccard >= t shares
+        # >= t*(sa+sb)/(1+t) shingles, lower-bounded over the group
+        smin = float(sizes[left_rows].min() + sizes[right_rows].min())
+        theta = max(1, int(np.floor(thr * smin / (1.0 + thr))))
+        # l_rowglob is sorted (entries emitted in doc order)
+        uniq_left = left_rows  # global row ids with blk == bi, ascending
+        for c0 in range(0, uniq_left.size, chunk_docs):
+            lo_doc = uniq_left[c0]
+            hi_doc = uniq_left[min(c0 + chunk_docs, uniq_left.size) - 1]
+            s = np.searchsorted(l_rowglob, lo_doc, side="left")
+            e = np.searchsorted(l_rowglob, hi_doc, side="right")
+            if s == e:
+                continue
+            lc, lr = l_cols[s:e], l_rowglob[s:e]
+            seg = col_counts[lc]
+            total = int(seg.sum())
+            if total == 0:
+                continue
+            cum = np.cumsum(seg)
+            # fused gather: one repeat + arange instead of two repeats
+            start = col_offsets[lc] - (cum - seg)
+            right_doc = r_rowno[np.repeat(start, seg) + np.arange(total, dtype=np.int64)]
+            # chunk-local left numbering keeps the code space dense
+            left_local = np.searchsorted(uniq_left, lr)
+            base = int(left_local[0])
+            codes = np.repeat((left_local - base) * n_right, seg) + right_doc
+            span = (int(left_local[-1]) - base + 1) * n_right
+            counts = np.bincount(codes, minlength=span)
+            nz = np.flatnonzero(counts >= theta)
+            if nz.size == 0:
+                continue
+            shared = counts[nz]
+            li = uniq_left[base + nz // n_right]
+            rj = right_rows[nz % n_right]
+            ida, idb = ids[li], ids[rj]
+            if bi == bj:
+                # diagonal blocks emit both orders + self-pairs: keep one
+                keep = ida < idb
+            else:
+                # cross blocks emit each pair exactly once (either order)
+                keep = ida != idb
+            ida, idb, shared = ida[keep], idb[keep], shared[keep]
+            sa, sb = sizes[li][keep], sizes[rj][keep]
+            jac = shared.astype(np.float64) / (sa + sb - shared).astype(np.float64)
+            keep2 = jac >= thr
+            out_a.append(np.minimum(ida[keep2], idb[keep2]))
+            out_b.append(np.maximum(ida[keep2], idb[keep2]))
+            out_j.append(jac[keep2])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+            )
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "jaccard": np.concatenate(out_j),
+        })
+
+    return fan.groupBy("bi", "bj").applyInPandas(
+        count_pairs, "id_a long, id_b long, jaccard double"
+    )
 
 
 def _word_gram_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

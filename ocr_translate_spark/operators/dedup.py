@@ -882,6 +882,9 @@ def incremental_simhash_candidates(
     )
 
 
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str,
@@ -892,38 +895,89 @@ def simhash_near_dups(
     """(id_a, id_b, hamming) pairs with hamming(simhash) <= max_hamming.
 
     Banded by the four 16-bit quarters (pigeonhole: <=3 differing bits
-    leave at least one quarter identical), so candidate generation is an
-    equi-join, not a cross join.
-    """
-    # materialized once for the same reason as the MinHash banding: the
-    # quarter self-join would re-run the signature UDF per branch
-    # (see minhash_lsh_candidates for the cache-lifecycle notes)
-    sigs = simhash_signatures(df, id_col, text_col, drop_empty=True)
-    if materialize:
-        sigs = sigs.persist()
-    quarters = _quarter_table(sigs)
+    leave at least one quarter identical), so candidate generation never
+    leaves a quarter bucket.
 
-    a, b = quarters.alias("a"), quarters.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.q") == F.col("b.q"))
-            & (F.col("a.qv") == F.col("b.qv"))
-            & (F.col("a.id") < F.col("b.id")),
+    Physical shape (r8): the quarter table rides ONE grouped shuffle
+    (hash of (q, qv) into a bounded number of groups) and each task
+    enumerates pairs bucket-by-bucket in numpy — slab-wise XOR matrix +
+    popcount lookup.  The former quarter self-join emitted sum-of-k^2
+    join rows (229M at sf1.0: SimHash bits of same-domain docs are
+    heavily correlated, so 16-bit buckets are hot by construction) and
+    then paid a global dropDuplicates; the blocked form emits each pair
+    exactly once with NO dedup exchange, because the pair's xor already
+    says which earlier quarter agreed (emit only from the FIRST agreeing
+    quarter).  ``materialize`` is retained for API compatibility: the
+    signature stage now has exactly one consumer, so there is nothing to
+    re-share.
+    """
+    sigs = simhash_signatures(df, id_col, text_col, drop_empty=True)
+    quarters = _quarter_table(sigs)
+    sc = df.sparkSession.sparkContext
+    n_groups = max(64, sc.defaultParallelism * 4)
+    # explicit repartition on the group key: the quarter table is tiny in
+    # BYTES (~24 B/doc) but its pair enumeration is CPU-heavy, and AQE
+    # coalesces a byte-sized shuffle to a handful of tasks (observed 8 at
+    # sf1.0, serializing the bucket work); a user repartition pins the
+    # width and the groupBy below reuses the same hash partitioning
+    grp = quarters.withColumn(
+        "_g", F.pmod(F.xxhash64("q", "qv"), F.lit(n_groups))
+    ).repartition(n_groups, "_g")
+    mh = int(max_hamming)
+
+    def bucket_pairs(pdf):
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        sh = pdf["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        qq = pdf["q"].to_numpy(dtype=np.int64)
+        qv = pdf["qv"].to_numpy(dtype=np.int64)
+        order = np.lexsort((qv, qq))
+        qq, qv = qq[order], qv[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], (qq[1:] != qq[:-1]) | (qv[1:] != qv[:-1])))
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        bounds = np.concatenate((starts, [len(qq)]))
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            k = e - s
+            if k < 2:
+                continue
+            sel = order[s:e]
+            bsh, bid = sh[sel], ids[sel]
+            q = int(qq[s])
+            for i0 in range(0, k - 1, 256):
+                i1 = min(i0 + 256, k - 1)
+                x = bsh[i0:i1, None] ^ bsh[None, :]
+                ham = (
+                    _POPCOUNT8[x.view(np.uint8)]
+                    .reshape(i1 - i0, k, 8)
+                    .sum(axis=2, dtype=np.int64)
+                )
+                keep = ham <= mh
+                # strict upper triangle: position j > i
+                keep &= np.arange(k)[None, :] > np.arange(i0, i1)[:, None]
+                # emit only from the first agreeing quarter: any earlier
+                # quarter with a zero 16-bit xor slice already emitted
+                for qp in range(q):
+                    keep &= (x >> np.uint64(16 * qp)) & np.uint64(0xFFFF) != 0
+                ii, jj = np.nonzero(keep)
+                if ii.size == 0:
+                    continue
+                ia, ib = bid[ii + i0], bid[jj]
+                out_a.append(np.minimum(ia, ib))
+                out_b.append(np.maximum(ia, ib))
+                out_h.append(ham[ii, jj].astype(np.int32))
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "hamming": "int32"}
+            )
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_h),
+        })
+
+    return grp.groupBy("_g").applyInPandas(
+        bucket_pairs, "id_a long, id_b long, hamming int"
     )
 
 

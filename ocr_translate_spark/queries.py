@@ -475,10 +475,19 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = dedup.minhash_lsh_candidates(both, "doc_id", "text").filter(
         F.col("est_jaccard") >= 1.0
     )
-    setkey = both.select(
+    # set-equality key: xxhash64 of the SORTED distinct gram-hash array —
+    # the same partition of docs as the oracle's md5-of-sorted-string-grams
+    # key (equal sets ⟺ equal keys, modulo the same negligible hash-
+    # collision class), at ~7x less compute: no gram strings, no string
+    # sort, no md5 (r8 measured 3.6 s -> 0.5 s per evaluation at sf1.0,
+    # and this column is evaluated on both join branches)
+    wh = both.select(
+        "doc_id", dedup._word_hash_array(F.col("text")).alias("_wh")
+    )
+    setkey = wh.select(
         "doc_id",
-        F.md5(
-            F.array_join(F.array_sort(dedup._shingle_array(F.col("text"), 3)), _SEP)
+        F.xxhash64(
+            F.array_sort(dedup._gram_hashes_from(F.col("_wh"), 3))
         ).alias("setkey"),
     )
     ka = setkey.select(F.col("doc_id").alias("id_a"), F.col("setkey").alias("_ka"))
@@ -499,11 +508,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps its planted-mutation pytest."""
     both = _doubled_documents(spark, sf_dir)
     out = dedup.simhash_near_dups(both, "doc_id", "text", max_hamming=0)
-    words = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+", -1), lambda x: x != F.lit("")
-    )
+    # multiset-equality key: xxhash64 of the SORTED word-hash array (dup
+    # words kept) — same doc partition as the oracle's md5-of-sorted-words
+    # key, without materializing/sorting/joining word strings (see
+    # q_minhash_lsh's setkey note)
     mkey = both.select(
-        "doc_id", F.md5(F.array_join(F.array_sort(words), _SEP)).alias("mkey")
+        "doc_id",
+        F.xxhash64(
+            F.array_sort(dedup._word_hash_array(F.col("text")))
+        ).alias("mkey"),
     )
     ka = mkey.select(F.col("doc_id").alias("id_a"), F.col("mkey").alias("_ka"))
     kb = mkey.select(F.col("doc_id").alias("id_b"), F.col("mkey").alias("_kb"))

@@ -393,33 +393,43 @@ def _jaccard_pairs_blocked(docs: DataFrame, threshold: float) -> DataFrame:
 
 def _word_gram_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, gram) rows: the DISTINCT ``n``-word grams of each document as
-    60-bit portable hashes (first 15 md5 hex digits — the scheme
-    textstats.rolling_fingerprint_portable documents, replayable in
-    DuckDB).  Narrow map + explode; docs shorter than ``n`` words emit
-    nothing.
+    60-bit hashes in [2^60, 2^61).  Narrow map + explode; docs shorter
+    than ``n`` words emit nothing.
 
-    The word array is projected as a REAL column before the gram
+    Hash scheme (r8): one ``xxhash64`` per word, one ``xxhash64`` over
+    the n word hashes per gram position — no gram string is ever
+    materialized (the md5-of-joined-words form this replaces allocated
+    and hashed a ~100-char string per gram position and was the dominant
+    cost of every consumer's edge/pair build: 3.8 s of dedup_clusters'
+    6.0 s at sf1.0).  Only gram EQUALITY is consumed downstream (df caps,
+    equi-joins, component labels — no consumer outputs the hash value),
+    so any injective-modulo-negligible-collision keying gives identical
+    results; the DuckDB oracles replay the same grouping under their own
+    portable md5 scheme.  The forced high bit makes every gram strictly
+    larger than any realistic doc id, which upgrades
+    shared_gram_components' "component minimum is a doc node" property
+    from astronomically-likely to guaranteed.
+
+    The word-hash array is projected as a REAL column before the gram
     transform: a HOF lambda referencing an inline array expression
-    re-evaluates it per element (here: one split+filter of the full text
-    per gram position — measured 3.8x the whole gram build at sf0.1);
+    re-evaluates it per element (one split+hash of the full text per
+    gram position — measured 3.8x the whole gram build at sf0.1);
     behind an attribute reference the split runs once per row."""
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda x: x != F.lit("")
     )
-    w = (
+    wh = (
         df.select(F.col(id_col).alias("id"), words.alias("_w"))
         .filter(F.size("_w") >= n)
+        .select("id", F.transform(F.col("_w"), lambda x: F.xxhash64(x)).alias("_wh"))
     )
     grams = F.transform(
-        F.sequence(F.lit(0), F.size("_w") - n),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n))), 1, 15
-            ),
-            16, 10,
-        ).cast("long"),
+        F.sequence(F.lit(0), F.size("_wh") - n),
+        lambda i: F.shiftrightunsigned(
+            F.xxhash64(*[F.get(F.col("_wh"), i + j) for j in range(n)]), 4
+        ).bitwiseOR(F.lit(1 << 60)),
     )
-    return w.select("id", F.explode(F.array_distinct(grams)).alias("gram"))
+    return wh.select("id", F.explode(F.array_distinct(grams)).alias("gram"))
 
 
 def shared_ngram_pairs(
@@ -1222,8 +1232,9 @@ def shared_gram_components(
     than ``max_gram_df`` are dropped exactly like shared_ngram_pairs'
     cap (site-wide boilerplate belongs to line-dedup, not pairing).  The
     component minimum over mixed nodes is always a doc node (doc ids are
-    even and small; gram nodes odd and ~2^60), so doc labels decode as
-    ``component / 2``.
+    even; gram nodes odd and >= 2^61 by the forced high bit in
+    :func:`_word_gram_table` — guaranteed, not merely probabilistic), so
+    doc labels decode as ``component / 2``.
     """
     g = _word_gram_table(df, id_col, text_col, n)
     keep = (

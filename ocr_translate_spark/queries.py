@@ -89,7 +89,7 @@ _FTR = '<footer><p>copyright 2024 <a href="/tos">terms</a></p></footer></body></
 
 
 def _html_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallel=True)
     html = F.concat(
         F.lit(_HDR), F.lit("<article><p>"), F.col("text"),
         F.lit("</p></article>"), F.lit(_FTR),
@@ -127,7 +127,7 @@ def q_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF layout pass: text objects round-trip byte-identically."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs = load(spark, sf_dir, "documents", parallel=True).select("doc_id", "text", "lang")
 
     def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -204,8 +204,8 @@ def q_textstat_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", words.alias("_words"),
         F.length("text").cast("double").alias("_n"),
     )
-    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(textstats.PUNCT_REGEX), F.lit(0))).cast("double")
-    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("double")
+    punct = textstats.punct_char_count(F.col("text")).cast("double")
+    nonspace = textstats.nonspace_char_count(F.col("text")).cast("double")
     stops = F.size(F.filter(F.col("_words"), lambda x: x.isin(*textstats.LANG_MARKERS["en"]))).cast("double")
     total = F.size("_words").cast("double")
     len_ok = F.when(F.col("_n") >= 200, F.lit(1.0)).otherwise(F.col("_n") / 200.0)
@@ -312,7 +312,7 @@ def q_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style rarity scoring (textstats.rarity_scores): mean/max
     inverse unigram frequency per doc against the corpus's own counts
     (log-free exact_math formulation — see the operator docstring)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallel=True)
     return textstats.rarity_scores(docs, "doc_id", "text")
 
 
@@ -1270,16 +1270,14 @@ def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same two-level salted window as urls.host_rank."""
     from .operators import curation
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallel=True)
     words = F.filter(
         F.split(F.lower(F.col("text")), r"\s+", -1), lambda x: x != F.lit("")
     )
     d = docs.select("doc_id", "lang", "text", words.alias("_w"))
     n = F.length("text").cast("double")
-    punct = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(textstats.PUNCT_REGEX), F.lit(0))
-    ).cast("double")
-    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("double")
+    punct = textstats.punct_char_count(F.col("text")).cast("double")
+    nonspace = textstats.nonspace_char_count(F.col("text")).cast("double")
     stops = F.size(
         F.filter(F.col("_w"), lambda x: x.isin(*textstats.LANG_MARKERS["en"]))
     ).cast("double")

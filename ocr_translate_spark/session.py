@@ -63,6 +63,21 @@ def get_spark(
             "spark.sql.parquet.compression.codec",
             os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
         )
+        # scan split sizing (guide §6): the driver fixtures are single
+        # parquet FILES with row groups of ~1M rows (sf1.0 lineitem:
+        # 131 MB, 6 row groups), so the default 128 MB split pins the
+        # scan+partial-agg stage of every lineitem query to 2 tasks on a
+        # 32-core box; 16 MB splits let the reader hand each row group
+        # its own task (row-group granularity is the parallelism floor
+        # either way).  Parameterised because the right value is
+        # deployment-dependent: a real cluster reading many-file tables
+        # wants 128 MB-1 GB splits to bound task-scheduling overhead and
+        # the map-side block count (guide §2.2/§6) — set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES=1g there.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         # shuffle/spill on tmpfs: this box's /tmp is a single disk, which

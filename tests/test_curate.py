@@ -755,3 +755,55 @@ def test_curate_incremental_semantic_index(spark, tmp_path):
     assert rep3.n_appended == 0 and rep3.stages[-1] == "noop_commit"
     assert wh.current_snapshot_id() == snap1 + 1
     out3.unpersist()
+
+
+def test_curate_incremental_first_embedded_batch_fully_rejected(spark, tmp_path):
+    """A FIRST embedded batch whose docs are all rejected upstream must
+    not crash centroid training on the empty semantic sample (r8 advice:
+    train_ivf_centroids collected zero rows and _ordered_dot indexed
+    shape[1] of a 1-D empty array, wedging the stream permanently —
+    crash on every replay/restart).  Nothing may be stored (a 0-cell
+    quantizer must NOT freeze), and the next embedded batch trains the
+    real quantizer as its own first batch."""
+    import math
+
+    from ocr_translate_spark.curate import (
+        SEM_CENTROIDS_TABLE, curate_incremental,
+    )
+    from ocr_translate_spark.io.tables import open_warehouse
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    wh_root = str(tmp_path / "wh")
+    kw = dict(min_words=10, scrub=False, embedding_col="emb",
+              semantic_threshold=0.999, semantic_cells=2)
+    schema = "doc_id long, text string, emb array<double>"
+    # every doc fails min_words -> the quality stage rejects the whole
+    # batch and the semantic sample is empty
+    b1 = spark.createDataFrame(
+        [(0, "too short", vec(0.0)), (1, "way too short", vec(1.2))],
+        schema,
+    )
+    out1, rep1 = curate_incremental(spark, wh_root, b1, **kw)
+    assert rep1.n_appended == 0
+    out1.unpersist()
+
+    wh = open_warehouse(spark, wh_root)
+    assert wh.read(spark, SEM_CENTROIDS_TABLE,
+                   schema="cell bigint, centroid array<double>").count() == 0
+
+    # replay of the rejected batch: still a no-op, still no crash
+    out1r, rep1r = curate_incremental(spark, wh_root, b1, **kw)
+    assert rep1r.n_appended == 0
+    out1r.unpersist()
+
+    # the next embedded batch is the real first one: trains + freezes
+    b2 = spark.createDataFrame(
+        [(10, _sentence(10), vec(0.0)), (11, _sentence(11), vec(1.2))],
+        schema,
+    )
+    out2, rep2 = curate_incremental(spark, wh_root, b2, **kw)
+    assert rep2.n_appended == 2
+    assert wh.read(spark, SEM_CENTROIDS_TABLE).count() == 2
+    out2.unpersist()

@@ -924,7 +924,14 @@ def simhash_near_dups(
     sigs = simhash_signatures(df, id_col, text_col, drop_empty=True)
     quarters = _quarter_table(sigs)
     sc = df.sparkSession.sparkContext
-    n_groups = max(64, sc.defaultParallelism * 4)
+    # group count scales with the DATA (one column-pruned count of the
+    # input — the optimizer drops every projection, so this is a
+    # metadata-cheap action), bounded below for parallelism and above by
+    # the core count: a fixed-width stage pays ~0.5 s of task/Arrow
+    # overhead at 10k docs while 8 AQE-coalesced tasks serialize the
+    # bucket work at 100k docs (observed both ways at sf0.1 / sf1.0)
+    n_docs = df.count()
+    n_groups = int(max(32, min(sc.defaultParallelism * 4, (4 * n_docs) // 2048)))
     # explicit repartition on the group key: the quarter table is tiny in
     # BYTES (~24 B/doc) but its pair enumeration is CPU-heavy, and AQE
     # coalesces a byte-sized shuffle to a handful of tasks (observed 8 at

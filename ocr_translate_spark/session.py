@@ -63,21 +63,16 @@ def get_spark(
             "spark.sql.parquet.compression.codec",
             os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
         )
-        # scan split sizing (guide §6): the driver fixtures are single
-        # parquet FILES with row groups of ~1M rows (sf1.0 lineitem:
-        # 131 MB, 6 row groups), so the default 128 MB split pins the
-        # scan+partial-agg stage of every lineitem query to 2 tasks on a
-        # 32-core box; 16 MB splits let the reader hand each row group
-        # its own task (row-group granularity is the parallelism floor
-        # either way).  Parameterised because the right value is
-        # deployment-dependent: a real cluster reading many-file tables
-        # wants 128 MB-1 GB splits to bound task-scheduling overhead and
-        # the map-side block count (guide §2.2/§6) — set
-        # SPARK_GRAFT_MAX_PARTITION_BYTES=1g there.
-        .config(
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
-        )
+        # scan split sizing (guide §6): deliberately left at the Spark
+        # default.  An r8 A/B (16m vs 128m, interleaved per-query via the
+        # runtime conf in one session) measured NO difference on any
+        # fixture query: FilePartition sizing is already floored at
+        # max(openCostInBytes, totalBytes/defaultParallelism), so the
+        # 128 MB cap never binds for these table sizes, and the real
+        # parallelism floor is the fixtures' parquet row-group layout
+        # (load(parallel=True) is the remedy where a kernel needs the
+        # fan-out).  On a many-file cluster the default is also the
+        # guide-recommended starting point.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         # shuffle/spill on tmpfs: this box's /tmp is a single disk, which

@@ -88,8 +88,15 @@ _STAGE_SCHEMA = (
 )
 
 
-def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 8) -> DataFrame:
+def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 64) -> DataFrame:
     """Repartition on a salted url-hash to break host/byte skew (north_rule).
+
+    ``salt`` buckets per target partition; r8 raised the default 8 -> 64
+    per the skew guidance (many more distinct key values than partitions
+    so the hash spreads evenly): ~salt pages-per-bucket variance is what
+    sets the extract stage's straggler tail, and the interleaved 600k A/B
+    read ~5% in 64's favor at zero cost.  A single giant page remains
+    irreducible at any salt — that term is the corpus, not the plan.
 
     ``xxhash64(url) % (P * salt)`` gives ``salt`` buckets per target
     partition, so even a pathological upstream layout (all giant pages in
@@ -200,7 +207,7 @@ def extract_pages(
     df: DataFrame,
     options: ExtractOptions | None = None,
     repartition: int | None = None,
-    salt: int = 8,
+    salt: int = 64,
 ) -> DataFrame:
     """pages DataFrame -> extracted DataFrame (EXTRACTED schema + lineage cols).
 

@@ -19,6 +19,8 @@ cluster sizes, no Python in the hot path.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
@@ -748,8 +750,8 @@ def simhash_signatures(
     Votes are identical to an exploded groupBy formulation.
     """
     bit_idx = np.arange(63, dtype=np.uint64)
-    # peak transient memory for the (tokens x 63) vote matrix is bounded by
-    # chunking ROWS so each chunk holds <= max_chunk_tokens (~16 MB of int32
+    # peak transient memory for the (tokens x 64) bit matrix is bounded by
+    # chunking ROWS so each chunk holds <= max_chunk_tokens (~4 MB of uint8
     # at the default), independent of the session's Arrow batch size — the
     # operator must stay bounded-memory even under Spark's default 10k-row
     # batches; results are chunk-size-invariant (tested)
@@ -761,6 +763,8 @@ def simhash_signatures(
         out = np.zeros(nrows, dtype=np.int64)
         nz = lens > 0
         if flat.size:
+            if sys.byteorder != "little":  # pragma: no cover
+                flat = flat.byteswap()
             starts = np.zeros(nrows, dtype=np.int64)
             starts[1:] = np.cumsum(lens)[:-1]
             ends = starts + lens
@@ -774,13 +778,25 @@ def simhash_signatures(
                 cnz = nz[row:hi]
                 if cnz.any():
                     seg = flat[starts[row] : ends[hi - 1]]
-                    # +/-1 contribution per (token, bit); int32 sums are
-                    # safe for any realistic tokens-per-doc
-                    bits = ((seg[:, None] >> bit_idx) & np.uint64(1)).astype(np.int32)
-                    contrib = bits * 2 - 1
+                    # ONE uint8 unpack instead of 63 uint64 shift/mask
+                    # passes: column k of the little-endian unpack IS
+                    # (hash >> k) & 1, so the vote matrix comes straight
+                    # from the hash bytes at 1/8 the uint64 memory traffic
+                    # (r8 A/B: the shift/mask form measured ~2x slower on
+                    # identical batches)
+                    bits = np.unpackbits(
+                        np.ascontiguousarray(seg).view(np.uint8).reshape(-1, 8),
+                        axis=1, bitorder="little",
+                    )
                     cstarts = (starts[row:hi] - starts[row])[cnz]
-                    counts = np.add.reduceat(contrib, cstarts, axis=0)
-                    sig = ((counts > 0).astype(np.uint64) << bit_idx).sum(
+                    ones = np.add.reduceat(
+                        bits, cstarts, axis=0, dtype=np.int64
+                    )
+                    # majority vote: sum over tokens of (2b-1) > 0
+                    # <=> 2 * popcount_of_ones > token_count (exact same
+                    # votes as the +/-1 formulation, ties -> 0 both ways)
+                    maj = (2 * ones[:, :63]) > lens[row:hi][cnz, None]
+                    sig = (maj.astype(np.uint64) << bit_idx).sum(
                         axis=1, dtype=np.uint64
                     )
                     out[row:hi][cnz] = sig.view(np.int64)
@@ -922,6 +938,41 @@ def simhash_near_dups(
     re-share.
     """
     sigs = simhash_signatures(df, id_col, text_col, drop_empty=True)
+    if int(max_hamming) == 0:
+        # hamming 0 <=> identical 63-bit signatures: resolve exact groups
+        # on the FULL signature instead of the 16-bit quarter bands — the
+        # quarter explode (4x rows), the grouped shuffle and the Python
+        # pair stage all disappear.  A full-signature group is
+        # true-duplicate-sized while a 16-bit band bucket is structurally
+        # hot (same-domain docs share quarters), so this is both the
+        # cheaper and the scale-safer plan for the exact-match config.
+        # Pairs expand JVM-side from each group's sorted id array, so the
+        # signature UDF is evaluated once (a self-join would re-run it
+        # per branch or need a persist).
+        grps = (
+            sigs.groupBy("simhash")
+            .agg(F.sort_array(F.collect_list("id")).alias("_ids"))
+            .filter(F.size("_ids") > 1)
+        )
+        n_ids = F.size(F.col("_ids"))
+        pairs = grps.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("_ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("_ids"), i + F.lit(2), n_ids),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        return pairs.select(
+            "p.id_a", "p.id_b", F.lit(0).cast("int").alias("hamming")
+        )
     quarters = _quarter_table(sigs)
     sc = df.sparkSession.sparkContext
     # group count scales with the DATA (one column-pruned count of the

@@ -205,6 +205,20 @@ def test_empty_docs_get_null_sigs_not_sentinels(spark):
     assert all(r["simhash"] is None for r in sigs if r["id"] != 10)
 
 
+def test_simhash_hamming0_fast_path_matches_blocked(spark, documents):
+    """max_hamming=0 routes through the full-signature group plan (no
+    quarter bands); its pair set must equal the blocked quarter plan's
+    hamming==0 subset exactly (r8 optimization equivalence pin)."""
+    docs = documents.limit(60).select("doc_id", "text")
+    both = docs.union(docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text"))
+    fast = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+            dedup.simhash_near_dups(both, "doc_id", "text", max_hamming=0).collect()}
+    blocked = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+               dedup.simhash_near_dups(both, "doc_id", "text", max_hamming=1).collect()
+               if r["hamming"] == 0}
+    assert fast == blocked and fast  # the doubled corpus guarantees dups
+
+
 def test_simhash_chunk_size_invariance(spark, documents):
     """Bounded-memory row chunking cannot change signatures."""
     docs = documents.limit(30).select("doc_id", "text")

@@ -220,7 +220,7 @@ def _jaccard_pairs_join(docs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def _pick_jaccard_strategy(docs: DataFrame, sample_rows: int = 4096) -> str:
+def _pick_jaccard_strategy(docs: DataFrame, sample_rows: int = 1024) -> str:
     """Choose join vs block from a bounded sample (exact either way).
 
     Estimates E[shared shingles per random pair] from <= ``sample_rows``
@@ -228,7 +228,14 @@ def _pick_jaccard_strategy(docs: DataFrame, sample_rows: int = 4096) -> str:
     few hundred KB).  The join plan's pair-row bytes beat the block
     plan's array fanout only when that expectation is tiny — i.e. the
     vocabulary is large relative to the corpus (normal web text).  A
-    sample-density misread costs performance, never correctness."""
+    sample-density misread costs performance, never correctness.
+
+    1024 rows: the decision boundary (e_shared ~0.007 at the default
+    block size) sits orders of magnitude from both corpus regimes
+    (dense fixtures ~0.1+, sparse web ~1e-4), and the LIMIT runs
+    per-partition BEFORE the gram projection prunes it — an r8
+    measurement localized ~0.6 s/eval at 4096 rows to exactly that
+    (32 partitions x local-limit rows of gram compute), ~4x less here."""
     pdf = docs.select("grams").limit(sample_rows).toPandas()
     m = len(pdf)
     if m < 2:
